@@ -1,0 +1,228 @@
+"""Forcing preparation: one vectorized [P, T] pass over the weather inputs.
+
+The reference evaluates input validation, relaxation smoothing, precipitation
+typing, solar position and sky-view radiation correction scalar-per-step
+inside the time loop (examples/example1/src/Simulation.f90:58-95).  All of
+those are pure functions of (forcing, time, location) -- none touch prognostic
+state -- so a TPU-native design hoists them out of the sequential scan into a
+single fused batched pass here.  The scan step then only consumes the
+channels in :class:`Prepared`.
+
+Index conventions: step t (0-based) corresponds to the reference's 1-based
+loop index i = t + 1 and consumes forcing row t.  The final step t = T-1
+replicates the reference's ``lastValues`` quirks (no CheckValues, no
+relaxation, no obs forcing, frozen coupling flags;
+examples/example1/src/Simulation.f90:100-113, src/InputOutput.f90:169-198).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ModelSettings, PhysicsParams, MISSING
+from .physics import storage
+from .physics.radiation import modify_radiation
+from .physics.sun import elevation_azimuth, julian_ephemeris_day
+from .state import PointParams
+
+
+class Calendar(NamedTuple):
+    """Per-step UTC calendar of the simulation grid, [T] int arrays."""
+    year: np.ndarray
+    month: np.ndarray
+    day: np.ndarray
+    hour: np.ndarray
+    minute: np.ndarray
+    second: np.ndarray
+
+    @classmethod
+    def from_epochs(cls, epochs: np.ndarray) -> "Calendar":
+        dt64 = np.asarray(epochs, dtype="datetime64[s]")
+        y = dt64.astype("datetime64[Y]").astype(int) + 1970
+        mo = dt64.astype("datetime64[M]").astype(int) % 12 + 1
+        d = (dt64.astype("datetime64[D]") - dt64.astype("datetime64[M]")).astype(int) + 1
+        h = (dt64.astype("datetime64[h]") - dt64.astype("datetime64[D]")).astype(int)
+        mi = (dt64.astype("datetime64[m]") - dt64.astype("datetime64[h]")).astype(int)
+        s = (dt64.astype("datetime64[s]") - dt64.astype("datetime64[m]")).astype(int)
+        return cls(y, mo, d, h, mi, s)
+
+    @classmethod
+    def from_start(cls, start_epoch: int, dt: float, sim_len: int) -> "Calendar":
+        epochs = start_epoch + (np.arange(sim_len) * dt).astype(np.int64)
+        return cls.from_epochs(epochs)
+
+    @property
+    def jde(self) -> np.ndarray:
+        return julian_ephemeris_day(self.year, self.month, self.day,
+                                    self.hour, self.minute, self.second)
+
+
+class RawForcing(NamedTuple):
+    """Interpolated-to-grid weather inputs, [P, T] float (missing = -9999.9
+    except lw_net whose missing threshold is -1000; src/InputArrays.f90.inc)."""
+    tair: jnp.ndarray
+    tdew: jnp.ndarray
+    vz: jnp.ndarray
+    rhz: jnp.ndarray
+    prec: jnp.ndarray       #: mm/h
+    sw: jnp.ndarray
+    lw: jnp.ndarray
+    sw_dir: jnp.ndarray
+    lw_net: jnp.ndarray
+    tsurf_obs: jnp.ndarray
+    prec_phase: jnp.ndarray  #: int codes, missing = -9999
+
+
+class Prepared(NamedTuple):
+    """Scan-ready forcing, time-major [T, P] (plus [T] shared channels)."""
+    tair: jnp.ndarray
+    vz: jnp.ndarray          #: relaxed + calm-limit floored
+    rhz: jnp.ndarray
+    rain: jnp.ndarray        #: mm added to water storage this step
+    snow: jnp.ndarray        #: mm added to snow storage this step
+    sw: jnp.ndarray          #: effective SW (sky-view modified)
+    lw: jnp.ndarray          #: effective LW
+    tsurf_obs: jnp.ndarray   #: obs to force into the profile, else -9999.9
+    valid: jnp.ndarray       #: bool, CheckValues outcome
+    in_coupling: jnp.ndarray  #: bool, melting-guard coupling phase flag
+    trf_fric: jnp.ndarray    #: [T] traffic friction heat
+
+
+def _check_values(raw: RawForcing, skyview_active, settings: ModelSettings):
+    """Input range guards (CheckValues, src/InputOutput.f90:45-84)."""
+    ok = ((raw.tair >= -90.0) & (raw.tair <= 100.0)
+          & (raw.tdew >= -90.0) & (raw.tdew <= 100.0)
+          & (raw.rhz >= -0.1) & (raw.rhz <= 120.0)
+          & (raw.vz >= -1.0) & (raw.vz <= 100.0)
+          & (raw.sw >= -0.1) & (raw.sw <= 4000.0)
+          & (raw.lw >= -0.1) & (raw.lw <= 1000.0)
+          & (raw.prec >= -0.1) & (raw.prec <= 500.0))
+    sky_ok = ((raw.sw_dir >= -0.1) & (raw.sw_dir <= 4000.0)
+              & (raw.lw_net >= -1000.0) & (raw.lw_net <= 1000.0))
+    ok = ok & (sky_ok | ~skyview_active[..., None])
+    # the final step skips CheckValues (Simulation.f90:100-113)
+    return ok.at[..., -1].set(True)
+
+
+def prepare(raw: RawForcing, pts: PointParams, cal: Calendar,
+            settings: ModelSettings, p: PhysicsParams,
+            use_relaxation: Optional[jnp.ndarray] = None) -> Prepared:
+    """Build the prepared forcing tensor.  All inputs [P, T]; output [T, P]."""
+    raw = RawForcing(*(jnp.asarray(x) for x in raw))
+    pts = PointParams(*(jnp.asarray(x) for x in pts))
+    T = raw.tair.shape[-1]
+    dtype = raw.tair.dtype
+
+    skyview_active = (pts.sky_view < 1.0) & (pts.sky_view > -0.01)
+    valid = _check_values(raw, skyview_active, settings)
+
+    # Initialization.f90:121-123 -- first wind value floored before anything
+    vz = raw.vz.at[..., 0].set(jnp.maximum(raw.vz[..., 0], 0.4))
+
+    # CheckValues SW_dir <= SW clamp (InputOutput.f90:75-77); the last step
+    # skips CheckValues, so the clamp is masked off there.
+    sw_dir = jnp.where(jnp.arange(T) < T - 1,
+                       jnp.minimum(raw.sw_dir, raw.sw), raw.sw_dir)
+
+    # --- sky view / local horizons (ModRadiation, applied per point where
+    # 0 <= sky_view < 1; Simulation.f90:152-155) -------------------------
+    sw, lw = raw.sw, raw.lw
+    if bool(np.any(np.asarray(skyview_active))):
+        jde = jnp.asarray(cal.jde, dtype=dtype)
+        elev, azim = elevation_azimuth(jde[None, :], pts.lat[..., None],
+                                       pts.lon[..., None])
+        sw_m, lw_m = modify_radiation(sw, sw_dir, lw, raw.lw_net, elev, azim,
+                                      pts.sky_view[..., None], pts.horizons, p)
+        sw = jnp.where(skyview_active[..., None], sw_m, sw)
+        lw = jnp.where(skyview_active[..., None], lw_m, lw)
+
+    # --- relaxation (RelaxationOperations, src/Relaxation.f90:10-47) ----
+    tair, rhz = raw.tair, raw.rhz
+    relax_valid = ((pts.tair_relax >= -100.0) & (pts.tair_relax <= 100.0)
+                   & (pts.vz_relax >= 0.0) & (pts.vz_relax <= 100.0)
+                   & (pts.rh_relax >= 0.0) & (pts.rh_relax <= 110.0))
+    if use_relaxation is None:
+        use_relaxation = jnp.asarray(settings.use_relaxation)
+    relax_on = relax_valid & use_relaxation
+    if settings.use_relaxation:
+        t_idx = jnp.arange(T)
+        t0 = pts.init_len[..., None] - 1          # 0-based anchor step
+        # adjustment applies for 1-based i > InitLenI, i.e. t >= init_len,
+        # and never to the final step (lastValues)
+        adj_mask = (t_idx >= t0 + 1) & (t_idx < T - 1) & relax_on[..., None]
+        decay = jnp.exp(-(settings.dt * (t_idx - t0)) / (4.0 * 3600.0))
+        anchor = lambda x: jnp.take_along_axis(x, jnp.maximum(t0, 0), axis=-1)
+        tair = jnp.where(adj_mask,
+                         tair - (pts.tair_relax[..., None] - anchor(tair)) * decay,
+                         tair)
+        vz = jnp.where(adj_mask,
+                       vz - (pts.vz_relax[..., None] - anchor(vz)) * decay, vz)
+        rhz_adj = rhz - (pts.rh_relax[..., None] - anchor(rhz)) * decay
+        rhz = jnp.where(adj_mask, jnp.minimum(rhz_adj, 100.0), rhz)
+
+    # --- day/night traffic + wind floor (SetDayDependendVariables,
+    # src/BalanceModel.f90:354-387) --------------------------------------
+    hour = jnp.asarray(cal.hour)
+    is_night = (hour >= p.night_on) | (hour <= p.night_off)
+    calm_lim = jnp.where(is_night, p.calm_lim_ngt, p.calm_lim_day).astype(dtype)
+    trf_fric = jnp.where(is_night, p.trf_fric_ngt, p.trf_fric_day).astype(dtype)
+    vz = jnp.maximum(vz, calm_lim[None, :])
+
+    # --- precipitation typing (pure in forcing after relaxation) --------
+    prec_step = raw.prec / 3600.0 * settings.dt   # SetCurrentValues :111
+    rain, snow, _ = storage.calc_prec_type(raw.prec_phase, prec_step,
+                                           tair, rhz, p)
+
+    # --- obs forcing of the surface temperature (SetCurrentValues,
+    # src/InputOutput.f90:116-148) ---------------------------------------
+    t_idx = jnp.arange(T)
+    in_init = (t_idx + 1) <= pts.init_len[..., None]
+    force_phase = in_init | bool(settings.force_tsurf)
+    coupling_on = ((pts.coupling_end >= 1)
+                   & (pts.coupling_tsurf > -100.0)
+                   & settings.use_coupling)
+    before_window = (~coupling_on[..., None]) | \
+        ((t_idx + 1) < pts.coupling_start[..., None])
+    obs_ok = raw.tsurf_obs > -100.0
+    forced = force_phase & obs_ok & before_window & (t_idx < T - 1)
+    tsurf_obs = jnp.where(forced, raw.tsurf_obs, MISSING)
+
+    # --- coupling-phase flag for the melting guard ----------------------
+    in_coupling = (coupling_on[..., None]
+                   & ((t_idx + 1) >= pts.coupling_start[..., None])
+                   & ((t_idx + 1) <= pts.coupling_end[..., None]))
+    # the final step keeps the previous flag (no CouplingOperations1 there)
+    if T >= 2:
+        in_coupling = in_coupling.at[..., -1].set(in_coupling[..., -2])
+
+    tm = lambda x: jnp.swapaxes(jnp.asarray(x, dtype=dtype), -1, 0)
+    return Prepared(
+        tair=tm(tair), vz=tm(vz), rhz=tm(rhz), rain=tm(rain), snow=tm(snow),
+        sw=tm(sw), lw=tm(lw), tsurf_obs=tm(tsurf_obs),
+        valid=jnp.swapaxes(valid, -1, 0),
+        in_coupling=jnp.swapaxes(in_coupling, -1, 0),
+        trf_fric=trf_fric,
+    )
+
+
+def cof_schedule(sw_correction, lw_correction, coupling_end, T: int,
+                 settings: ModelSettings, dtype=jnp.float64):
+    """Post-coupling radiation coefficient decay schedule
+    (CouplingOperations1, src/Coupling.f90:82-88): per (T, P) arrays of
+    SwRadCof/LwRadCof.  Before/at the window end the coefficients are 1 (the
+    in-window values are handled by the coupling driver).  The final step
+    repeats the previous step's value (no CouplingOperations1 there)."""
+    t_idx = jnp.arange(T)[:, None]
+    end = jnp.asarray(coupling_end)[None, :]
+    dts = settings.dt
+    decay = jnp.exp(-((dts * (t_idx + 1)) - (dts * end))
+                    / settings.coupling_effect_reduction)
+    after = (t_idx + 1) > end
+    sw = jnp.where(after & (end >= 1), 1.0 + sw_correction[None, :] * decay, 1.0)
+    lw = jnp.where(after & (end >= 1), 1.0 + lw_correction[None, :] * decay, 1.0)
+    if T >= 2:
+        sw = sw.at[-1, :].set(sw[-2, :])
+        lw = lw.at[-1, :].set(lw[-2, :])
+    return sw.astype(dtype), lw.astype(dtype)

@@ -1,0 +1,79 @@
+"""Golden-trajectory parity: vectorized JAX scan vs the scalar oracle.
+
+The oracle (roadsurf_tpu/oracle.py) replicates the reference Fortran control
+flow statement-for-statement in float64; the scan path must match it to
+float64 round-off over multi-hour trajectories in every physics regime.
+"""
+import numpy as np
+import pytest
+
+from roadsurf_tpu.config import ModelSettings, PhysicsParams
+from roadsurf_tpu.model import Model
+from roadsurf_tpu.oracle import Oracle, OraclePoint
+from roadsurf_tpu.io.synthetic import synthetic_raw
+from roadsurf_tpu.state import default_point_params
+
+
+def run_both(scenario, sim_len=721, npoints=4, use_relaxation=False,
+             seed=1, dt=30.0, sky_view=None):
+    settings = ModelSettings(sim_len=sim_len, dt=dt,
+                             use_relaxation=use_relaxation)
+    raw, cal = synthetic_raw(npoints, sim_len, dt=dt, seed=seed,
+                             scenario=scenario)
+    pts = default_point_params(npoints)
+    if sky_view is not None:
+        pts = pts._replace(sky_view=np.full(npoints, sky_view))
+    if use_relaxation:
+        # relaxation anchored at the last obs-period step, as read_input does
+        init_len = sim_len // 3
+        pts = pts._replace(
+            init_len=np.full(npoints, init_len, np.int32),
+            tair_relax=raw.tair[:, init_len].copy(),
+            vz_relax=raw.vz[:, init_len].copy(),
+            rh_relax=raw.rhz[:, init_len].copy(),
+        )
+
+    model = Model(settings)
+    _, out = model.run(raw, pts, cal)
+    jax_out = np.stack([np.asarray(out.tsurf), np.asarray(out.wat),
+                        np.asarray(out.snow), np.asarray(out.ice),
+                        np.asarray(out.ice2), np.asarray(out.dep)], axis=-1)
+
+    oracle = Oracle(settings, PhysicsParams())
+    for pnt in range(npoints):
+        f = {k: np.array(getattr(raw, k)[pnt], np.float64)
+             for k in ("tair", "tdew", "vz", "rhz", "prec", "sw", "lw",
+                       "sw_dir", "lw_net", "tsurf_obs")}
+        f["prec_phase"] = np.array(raw.prec_phase[pnt])
+        opt = OraclePoint(
+            lat=float(pts.lat[pnt]), lon=float(pts.lon[pnt]),
+            sky_view=float(pts.sky_view[pnt]),
+            horizons=np.asarray(pts.horizons[pnt]),
+            init_len=int(pts.init_len[pnt]),
+            tair_relax=float(pts.tair_relax[pnt]),
+            vz_relax=float(pts.vz_relax[pnt]),
+            rh_relax=float(pts.rh_relax[pnt]),
+        )
+        ref = oracle.run(f, cal, opt)
+        got = jax_out[:, pnt, :]
+        np.testing.assert_allclose(
+            got, ref, rtol=1e-9, atol=1e-9,
+            err_msg=f"point {pnt} scenario {scenario}")
+
+
+@pytest.mark.parametrize("scenario", ["winter_mix", "cold_snow", "warm_rain"])
+def test_parity_scenarios(scenario):
+    run_both(scenario)
+
+
+def test_parity_with_relaxation():
+    run_both("winter_mix", use_relaxation=True, seed=3)
+
+
+def test_parity_with_skyview():
+    run_both("winter_mix", sky_view=0.6, seed=4)
+
+
+def test_parity_long_cold():
+    # longer horizon, colder regime: night frost + persistent snow
+    run_both("cold_snow", sim_len=1441, seed=5)
