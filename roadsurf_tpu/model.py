@@ -104,3 +104,13 @@ class Model:
         ones = jnp.ones(prep.tair.shape, prep.tair.dtype)
         return scan_steps(state, prep, ones, ones, pts.coupling_tsurf,
                           self.cfg, self.grid, self.params, collect=collect)
+
+    def run_coupled(self, raw: RawForcing, pts: PointParams, cal: Calendar,
+                    out_stride: int = 1):
+        """Full simulation with observation coupling (per-point-PC engine;
+        see roadsurf_tpu.coupling)."""
+        from .coupling import run_coupled
+        prep = self.prepare(raw, pts, cal)
+        state = self.init(raw, cal, dtype=prep.tair.dtype)
+        return run_coupled(state, prep, pts, self.settings, self.cfg,
+                           self.grid, self.params, out_stride=out_stride)

@@ -1,0 +1,103 @@
+"""Point-axis sharding over a TPU device mesh.
+
+The reference's entire parallel structure is embarrassingly-parallel CPU
+threading over independent road points (examples/example1/src/WorkQueue.h:15-131,
+examples/example2 boost::asio pool).  The TPU-native equivalent: one
+``jax.sharding.Mesh`` with a ``points`` axis; every [P]-leading array carries a
+``NamedSharding(P('points'))`` and XLA runs the batched scan with zero
+communication (columns are independent).  Collectives appear only for global
+metrics/validation reductions (psum) and the missing-data budget -- the
+analogue of example2's allowed_missing_ratio guard
+(examples/example2/src/roadrunner.cpp:700-706).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+POINTS = "points"
+
+
+def make_mesh(devices=None, axis_name: str = POINTS) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def _spec_for(leaf, axis: int) -> P:
+    ndim = jnp.ndim(leaf)
+    spec = [None] * ndim
+    if ndim > axis:
+        spec[axis] = POINTS
+    return P(*spec)
+
+
+def shard_state(tree, mesh: Mesh):
+    """Shard a State/PointParams-like pytree on its leading (points) axis."""
+    return jax.device_put(
+        tree, jax.tree.map(
+            lambda x: NamedSharding(mesh, _spec_for(x, 0)), tree))
+
+
+def shard_prepared(prep, mesh: Mesh):
+    """Shard time-major [T, P] forcing channels on axis 1; [T] channels are
+    replicated."""
+    def put(x):
+        spec = P(None, POINTS) if jnp.ndim(x) >= 2 else P(None)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree.map(put, prep)
+
+
+def pad_points(tree, multiple: int, axis: int = 0):
+    """Pad the points axis to a device-count multiple.  Padded points are
+    marked failed by the caller (validity mask), so they never contribute.
+    Returns (padded_tree, original_count)."""
+    def pad(x):
+        x = np.asarray(x)
+        if x.ndim <= axis:
+            return x
+        n = x.shape[axis]
+        rem = (-n) % multiple
+        if rem == 0:
+            return x
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (0, rem)
+        return np.pad(x, widths, mode="edge")
+    first = jax.tree.leaves(tree)[0]
+    return jax.tree.map(pad, tree), np.asarray(first).shape[axis]
+
+
+def failure_stats(failed, mesh: Optional[Mesh] = None):
+    """Global failed-point count + ratio via psum over the mesh -- the
+    missing-data budget reduction (examples/example2/src/roadrunner.cpp:536-543).
+
+    ``failed``: sharded [P] bool.  Returns (count, ratio) as scalars.
+    """
+    if mesh is None:
+        n = failed.sum()
+        return n, n / failed.shape[0]
+
+    from jax.experimental.shard_map import shard_map
+
+    @jax.jit
+    def stats(fl):
+        def local(fl_shard):
+            cnt = jnp.sum(fl_shard.astype(jnp.int32))
+            return jax.lax.psum(cnt, POINTS)
+        f = shard_map(local, mesh=mesh, in_specs=(P(POINTS),),
+                      out_specs=P())
+        total = f(fl)
+        return total, total / fl.shape[0]
+
+    return stats(failed)
+
+
+def check_missing_budget(failed, allowed_missing_ratio: float,
+                         mesh: Optional[Mesh] = None) -> bool:
+    """True if the run exceeds the allowed failure budget (the reference
+    raises a hard error then; example2/src/roadrunner.cpp:578-581)."""
+    _, ratio = failure_stats(failed, mesh)
+    return bool(ratio > allowed_missing_ratio)
