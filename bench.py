@@ -1,0 +1,109 @@
+"""Benchmark: point-timesteps/s on one TPU chip at ~1M road points.
+
+Metric defined by BASELINE.md (the reference publishes no numbers; the
+workload is 8,881 steps x N points, float64 on CPU threads).  We measure the
+steady-state throughput of the batched forecast scan in float32 on the real
+chip, streaming forcing in time chunks like a production run would.
+
+vs_baseline: ratio against an ESTIMATED reference CPU-node throughput of
+2.0e7 point-steps/s (a 48-core node at ~0.4M point-steps/s/core for the
+15-layer column with the 5-40-iteration boundary-layer fixed point; the
+reference repo ships no measured numbers to compare against -- see
+BASELINE.md).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_POINT_STEPS_PER_S = 2.0e7
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from roadsurf_tpu.config import ModelSettings
+    from roadsurf_tpu.io.synthetic import synthetic_raw
+    from roadsurf_tpu.model import Model, scan_steps
+    from roadsurf_tpu.state import default_point_params
+
+    npoints = int(os.environ.get("BENCH_POINTS", 1 << 20))
+    t_chunk = int(os.environ.get("BENCH_TCHUNK", 64))
+    n_chunks = int(os.environ.get("BENCH_CHUNKS", 4))
+    backend = jax.default_backend()
+
+    settings = ModelSettings(sim_len=t_chunk, dt=30.0)
+    model = Model(settings)
+
+    # one representative forcing chunk; identical cost to fresh chunks
+    # (branch-free physics -- no data-dependent work), so reuse is fair.
+    # Host builds a small chunk; tiling to full width and the initial state
+    # construction (incl. the eager boundary-layer fixed point) run inside
+    # one jit so remote dispatch overhead stays O(1).
+    small = min(npoints, 4096)
+    raw, cal = synthetic_raw(small, t_chunk, dt=30.0, seed=0,
+                             dtype=np.float32)
+    pts = default_point_params(small)
+    prep_small = model.prepare(raw, pts, cal)
+    reps = -(-npoints // small)
+    row0 = jnp.stack([jnp.asarray(np.asarray(x)[:, 0], np.float32)
+                      for x in (raw.tair, raw.vz, raw.rhz, raw.tsurf_obs)])
+    date0 = (int(cal.year[0]), int(cal.month[0]), int(cal.day[0]))
+
+    @jax.jit
+    def build(prep_small, row0):
+        def widen(x):
+            if x.ndim == 2:
+                return jnp.tile(x, (1, reps))[:, :npoints]
+            return x
+        prep = jax.tree.map(widen, prep_small)
+        wide0 = jnp.tile(row0, (1, reps))[:, :npoints]
+        from roadsurf_tpu.state import init_state
+        state = init_state(model.settings, model.params, model.grid,
+                           wide0[0], wide0[1], wide0[2], wide0[3], date0,
+                           depth_idx=model.cfg.depth_idx,
+                           depth_w=model.cfg.depth_w,
+                           use_depth=model.cfg.use_depth)
+        return prep, state
+
+    prep, state = build(prep_small, row0)
+    jax.block_until_ready(state)
+    ones = jnp.ones(prep.tair.shape, prep.tair.dtype)
+    obs = jnp.full((npoints,), -9999.9, prep.tair.dtype)
+
+    @jax.jit
+    def chunk(state, prep, sw, lw):
+        final, _ = scan_steps(state, prep, sw, lw, obs, model.cfg,
+                              model.grid, model.params, collect=False)
+        return final
+
+    # warmup/compile
+    state = chunk(state, prep, ones, ones)
+    jax.block_until_ready(state)
+
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        state = chunk(state, prep, ones, ones)
+    jax.block_until_ready(state)
+    dt_s = time.perf_counter() - t0
+
+    point_steps = npoints * t_chunk * n_chunks
+    rate = point_steps / dt_s
+    print(json.dumps({
+        "metric": "point_timesteps_per_s_per_chip",
+        "value": round(rate, 1),
+        "unit": "point-steps/s",
+        "vs_baseline": round(rate / BASELINE_POINT_STEPS_PER_S, 3),
+        "detail": {"npoints": npoints, "t_chunk": t_chunk,
+                   "n_chunks": n_chunks, "seconds": round(dt_s, 3),
+                   "backend": backend, "dtype": "float32"},
+    }))
+
+
+if __name__ == "__main__":
+    main()

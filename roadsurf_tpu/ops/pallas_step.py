@@ -1,0 +1,573 @@
+"""Fused Pallas TPU kernel: the entire forecast scan in one kernel launch.
+
+The XLA-scan path round-trips ~120 B/point of state through HBM every
+timestep and splits each step into several kernels (the boundary-layer
+``while_loop`` forces kernel boundaries, and its carry re-crosses HBM every
+iteration).  This kernel instead runs the whole time loop on-chip:
+
+ * grid = (point tiles,); each program owns TILE_P points for the full run;
+ * all prognostic state lives in VMEM scratch for the entire scan
+   (zero HBM state traffic between steps);
+ * forcing is streamed HBM->VMEM in double-buffered time chunks of
+   CHUNK_T steps, overlapping DMA with compute;
+ * outputs are accumulated in VMEM at the output stride and DMA'd back once
+   per chunk.
+
+Layouts are lane-major over points: per-point scalar state is row-packed into
+one [NROWS, TILE_P] array (rows indexed by the R_* constants); the
+temperature profile is [LPAD, TILE_P]; forcing is [T, NCH, P] in HBM.
+
+The physics replicates the same branch-free re-derivation as
+roadsurf_tpu.physics / step.py (reference citations there); the
+boundary-layer fixed point uses masked-freeze iterations, mathematically
+identical to the scan path's early-exit while_loop.  Parity vs the scan path
+is tested in tests/test_pallas_step.py.
+
+Coupled (rewinding) runs stay on the scan/while engine; this kernel covers
+the uncoupled hot path (the production nationwide-forecast workload).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import PhysicsParams
+from ..grid import LayerGrid
+from ..step import StepConfig
+
+# ---- row indices into the packed scalar state [NROWS, TILE_P] -------------
+R_TSURF, R_WAT, R_SNOW, R_ICE, R_ICE2, R_DEP = 0, 1, 2, 3, 4, 5
+R_Q2MELT, R_T4MELT, R_EVAP, R_BLCOND, R_ALBEDO = 6, 7, 8, 9, 10
+R_VERYCOLD, R_FAILED = 11, 12          # 0.0 / 1.0 flags
+NROWS = 16
+
+# ---- forcing channel indices (axis 1 of [T, NCH, P]) ----------------------
+C_TAIR, C_VZ, C_RHZ, C_RAIN, C_SNOW, C_SW, C_LW = 0, 1, 2, 3, 4, 5, 6
+C_TSURF_OBS, C_VALID, C_TRF, C_SWCOF, C_LWCOF, C_INCPL, C_CPLOBS = \
+    7, 8, 9, 10, 11, 12, 13
+NCH = 16
+
+N_OUT_FIELDS = 8  # tsurf, wat, snow, ice, ice2, dep, (2 pad)
+
+
+def _esat(t):
+    e_ice = 0.61078 * jnp.exp(21.875 * t / (t + 265.5))
+    e_wat = 0.61078 * jnp.exp(17.269 * t / (t + 237.3))
+    return jnp.where(t < 0.0, e_ice, e_wat)
+
+
+def _bl_fixed_point(blcond, tsurf, tair, vz, p: PhysicsParams, n_iter: int):
+    """Masked-freeze boundary-layer iteration (BoundaryLayer.f90:60-101):
+    identical results to the early-exit loop (frozen lanes stop changing)."""
+    tak = tair + 273.15
+    air_dens = 100000.0 / (287.05 * tak)
+    air_hcap = 1005.0 + (tak - 250.0) ** 2 / 3364.0
+    air_vcap = air_hcap * air_dens
+    dt_ts = tsurf - tair
+
+    def body(j, carry):
+        bl, psim, psih, done = carry
+        ustar = p.vk_const * vz / (p.log_ustar + psim)
+        bl_new = air_vcap * p.vk_const * ustar / (p.log_cond + psih)
+        stab = (-p.vk_const * p.zref_t * p.grav * bl_new * dt_ts
+                / (air_vcap * tak * ustar * ustar * ustar))
+        stab = jnp.minimum(stab, 1.0)
+        psih_s = 4.7 * stab
+        psih_u = -2.0 * jnp.log(
+            (1.0 + jnp.sqrt(jnp.maximum(1.0 - 16.0 * stab, 0.0))) / 2.0)
+        stable = stab > 0.0
+        psih_n = jnp.where(stable, psih_s, psih_u)
+        psim_n = jnp.where(stable, psih_n, 0.6 * psih_n)
+        newly = (jnp.abs(bl_new - bl) < 1e-3) & (j + 1 >= 5)
+        bl = jnp.where(done, bl, bl_new)
+        psim = jnp.where(done, psim, psim_n)
+        psih = jnp.where(done, psih, psih_n)
+        return bl, psim, psih, done | newly
+
+    done0 = jnp.zeros_like(blcond, dtype=bool)
+    carry = (blcond, jnp.zeros_like(blcond), jnp.zeros_like(blcond), done0)
+    carry = jax.lax.fori_loop(0, n_iter, body, carry)
+    bl, psim, psih, _ = carry
+    return bl, psim, psih, air_dens, air_hcap
+
+
+def _stencil(tmp, bl, rnet, le, trf, dt, p, dyc, cond_dz, wcont, nlayers):
+    """CalcHCapHCond + calcProfile + calcHStor, unrolled over layers
+    (BalanceModel.f90:90-129, :189-251, :311-322); tmp: [LPAD, TILE_P]."""
+    sens = bl * (tmp[0] - tmp[1])
+    g_prev = rnet - le + trf + sens
+    hs1 = None
+    updates = []
+    for j in range(1, nlayers + 1):
+        t = tmp[j]
+        t2_ = t * t
+        roo = jnp.where(t < 0.0, 920.0,
+                        -0.0050 * t2_ + 0.0079 * t + 1000.0028)
+        cw = jnp.where(t < 0.0, 2100.0,
+                       0.0000102 * t2_ * t2_ - 0.0017169 * t2_ * t
+                       + 0.11516 * t2_ - 3.4739 * t + 4217.2)
+        chwt = roo * cw
+        if j <= 2:
+            vsh = (1.0 - p.poro1) * p.vsh1 + wcont[j - 1] * chwt
+        else:
+            vsh = (1.0 - p.poro2) * p.vsh2 + wcont[j - 1] * chwt
+        if j == 1:
+            hs1 = vsh * dyc[0] / dt
+        cap_dz = -1.0 / (dyc[j - 1] * vsh)
+        gflux = cond_dz[j - 1] * (tmp[j + 1] - tmp[j])
+        updates.append(tmp[j] + dt * cap_dz * (gflux - g_prev))
+        g_prev = gflux
+    t1a = (tmp[1] + 3.0 * tmp[2]) / 4.0
+    new_tmp = tmp
+    for j, u in enumerate(updates, start=1):
+        new_tmp = new_tmp.at[j].set(u)
+    tna = (new_tmp[1] + 3.0 * new_tmp[2]) / 4.0
+    hstor = hs1 * (tna - t1a)
+    return new_tmp, hs1, hstor
+
+
+def _surf_ave(tmp, cfg: StepConfig):
+    if cfg.use_depth:
+        i = cfg.depth_idx
+        return tmp[i] + cfg.depth_w * (tmp[i + 1] - tmp[i])
+    return (tmp[1] + tmp[2]) / 2.0
+
+
+def _melting(tmp_new, tsurf, snow, ice, ice2, q2, t4, hstor, hs1,
+             in_cpl, last_obs, cfg, p):
+    """Storage.f90:319-402 on row layout."""
+    has_frozen = (snow > 0.0) | (ice > 0.0) | (ice2 > 0.0)
+    q2_out = jnp.where(has_frozen, q2, 0.0)
+    if not cfg.melting_can_change_temperature:
+        return tmp_new, q2_out
+    guard = ((hstor <= 0.00001) | (tsurf <= t4) | (q2 <= 0.0)
+             | (in_cpl & (last_obs < t4)))
+    cold = guard & (tsurf < 0.5)
+    hot = guard & (tsurf > 2.0)
+    qavail = hs1 * (tmp_new[1] - t4)
+    pin = has_frozen & (~cold) & (~hot)
+    all_used = q2 >= qavail
+    t1p = jnp.where(all_used, t4 + 0.01, t4 + (qavail - q2) / hs1)
+    t2p = t4 + 0.01
+    tmp_out = tmp_new.at[1].set(jnp.where(pin, t1p, tmp_new[1]))
+    tmp_out = tmp_out.at[2].set(jnp.where(pin, t2p, tmp_new[2]))
+    q2_out = jnp.where(has_frozen & cold, 0.0, q2_out)
+    q2_out = jnp.where(has_frozen & hot, jnp.minimum(q2_out, qavail), q2_out)
+    q2_out = jnp.where(pin & all_used, qavail, q2_out)
+    return tmp_out, q2_out
+
+
+def _road_cond(wat, snow, ice, ice2, dep, tsurf, evap, q2, t4, vcold,
+               cfg: StepConfig, p: PhysicsParams):
+    """WearFactors + RoadCond + CalcAlbedo (src/Cond.f90, src/Storage.f90)."""
+    tph, dt = cfg.tph, cfg.dt
+    vcold = vcold & ~(vcold & (tsurf > p.t_lim_cold_h))
+    vcold = vcold | ((~vcold) & (tsurf < p.t_lim_cold_l))
+
+    snow_tran = jnp.maximum(0.45 * snow, 0.01)
+    snow_tran = jnp.where(snow < 0.2, snow_tran * 3.0, snow_tran) * tph
+    ice_wear = jnp.maximum(1.1 * 2.0 * 0.145 * ice, 0.01) * tph
+    ice_wear2 = jnp.maximum(1.1 * 2.0 * 4.0 * 0.290 * ice2, 0.01) * tph
+    dep_wear = jnp.maximum(0.5 * 2.0 * 4.0 * 0.290 * dep, 0.01) * tph
+    wat_wear = 10.0 * jnp.maximum(0.145 * wat, 0.06) * tph
+    s2i = 0.25 / 0.45
+
+    bare = (snow <= 0.0) & (ice <= 0.0) & (dep <= 0.0) & (tsurf > p.t_lim_dew)
+    loss = jnp.where(wat > p.max_por_mms, evap, p.por_eva_f * evap)
+    wat = jnp.where(bare, wat - loss, wat)
+    wearing = wat > 0.0
+    ww = jnp.where(wat < p.w_wear_lim, 0.0, wat_wear)
+    amt = jnp.where(wat > p.w_wet_lim, ww, p.damp_wear_f * ww)
+    wat = jnp.where(wearing, wat - amt, wat)
+    wat = jnp.where(wat < p.min_wat_mms, 0.0, wat)
+    wat = jnp.minimum(wat, p.max_wat_mms)
+    srf_ext = jnp.maximum(wat - p.max_por_mms, 0.0)
+
+    rd = srf_ext + snow
+    wsr = jnp.where(rd > 0.001, srf_ext / rd, 0.0)
+    snow_wet = (snow > 0.0) & (wsr > p.wet_snow_form_r)
+    under = snow > 0.0
+    ice = jnp.where(under, ice + dep, ice)
+    dep = jnp.where(under, 0.0, dep)
+    has_snow = snow > 0.0
+    melt_f = has_snow & bool(cfg.force_snow_melting)
+    melts = has_snow & (~melt_f) & (q2 > 0.0) & (tsurf >= p.t_lim_melt_snow)
+    mm = 1000.0 * (q2 * dt) / (p.wat_m_heat * p.wat_dens)
+    wat = jnp.where(melt_f, wat + snow, jnp.where(melts, wat + mm, wat))
+    snow = jnp.where(melt_f, 0.0, jnp.where(melts, snow - mm, snow))
+    wearing = snow > 0.0
+    snow = jnp.where(wearing, snow - snow_tran, snow)
+    ice = jnp.where(wearing, ice + s2i * snow_tran, ice)
+    ice2 = jnp.where(wearing, ice2 + s2i * snow_tran, ice2)
+    wet_block = (snow > 0.0) & snow_wet
+    melting_wet = wet_block & (wsr > p.wet_snow_melt_r)
+    wat = jnp.where(melting_wet, wat + snow, wat)
+    snow = jnp.where(melting_wet, 0.0, snow)
+    freezing = wet_block & (tsurf < p.t_lim_freeze)
+    amt2 = snow + wat
+    ice = jnp.where(freezing, ice + amt2, ice)
+    ice2 = jnp.where(freezing, ice2 + amt2, ice2)
+    snow = jnp.where(freezing, 0.0, snow)
+    wat = jnp.where(freezing, 0.0, wat)
+    snow = jnp.where(snow < p.min_snow_mms, 0.0, snow)
+    snow = jnp.where(snow > p.max_snow_mms, snow - p.max_snow_mms / 2.0, snow)
+
+    freezing = (tsurf < p.t_lim_freeze) & (wat > 0.0)
+    ice = jnp.where(freezing, ice + wat, ice)
+    ice2 = jnp.where(freezing, ice2 + wat, ice2)
+    wat = jnp.where(freezing, 0.0, wat)
+    meltable = (snow <= 0.0) & (ice > 0.0)
+    melt_f = meltable & bool(cfg.force_ice_melting)
+    melts = meltable & (~melt_f) & (q2 > 0.0) & (tsurf >= p.t_lim_melt_ice)
+    wat = jnp.where(melt_f, wat + ice, jnp.where(melts, wat + mm, wat))
+    ice_n = jnp.where(melt_f, 0.0, jnp.where(melts, ice - mm, ice))
+    ice2 = jnp.where(melt_f, 0.0, jnp.where(melts, ice2 - mm, ice2))
+    ice = ice_n
+    ice = jnp.where(ice > 0.0, ice - ice_wear, ice)
+    ice2 = jnp.where(ice2 > 0.0, ice2 - ice_wear2, ice2)
+    ice = jnp.where(ice < p.min_ice_mms, 0.0, ice)
+    ice = jnp.minimum(ice, p.max_ice_mms)
+    ice2 = jnp.where(ice2 < p.min_ice_mms, 0.0, ice2)
+    ice2 = jnp.minimum(ice2, p.max_ice_mms)
+
+    dep = jnp.where(evap < 0.0, dep - evap, dep)
+    melting = tsurf > p.t_lim_melt_dep
+    wat = jnp.where(melting, wat + dep, wat)
+    dep = jnp.where(melting, 0.0, dep)
+    wearing = (snow <= 0.0) & (dep > 0.0)
+    dep = jnp.where(wearing, dep - dep_wear, dep)
+    dep = jnp.where(dep < p.min_dep_mms, 0.0, dep)
+    over = dep > p.max_dep_mms
+    wat = jnp.where(over, wat + dep - p.max_dep_mms, wat)
+    dep = jnp.minimum(dep, p.max_dep_mms)
+
+    wat = jnp.where(wat < p.min_wat_mms, 0.0, wat)
+    wat = jnp.minimum(wat, p.max_wat_mms)
+
+    q2n = jnp.zeros_like(wat)
+    snowy = snow > 0.0
+    q2n = jnp.where(snowy, p.wat_m_heat * p.wat_dens * (snow / 1000.0) / dt,
+                    q2n)
+    t4n = jnp.where(snowy, p.t_lim_melt_snow, t4)
+    icy = (~snowy) & (ice > 0.0)
+    q2n = jnp.where(icy, p.wat_m_heat * p.wat_dens * (ice / 1000.0) / dt, q2n)
+    t4n = jnp.where(icy, p.t_lim_melt_ice, t4n)
+    q2n = jnp.maximum(q2n, 0.0)
+
+    ice_sum = jnp.maximum(0.5 * (ice + ice2) + dep, 0.0)
+    snowy_a = (snow > 0.01) & (snow > ice)
+    icy_a = (ice > 0.01) | (dep > 0.01)
+    icy_alb = jnp.where(ice_sum < 1.5,
+                        p.alb_dry + (ice_sum / 1.5) * (p.alb_snow - p.alb_dry),
+                        p.alb_snow)
+    albedo = jnp.full_like(wat, p.alb_dry)
+    albedo = jnp.where(snowy_a, p.alb_snow,
+                       jnp.where(icy_a & ~snowy_a, icy_alb, albedo))
+    return wat, snow, ice, ice2, dep, vcold, q2n, t4n, albedo
+
+
+def _make_kernel(nsteps, chunk_t, out_stride, cfg, p, dyc, cond_dz, wcont,
+                 bl_iters, tile_p, lpad):
+    nlayers = len(dyc)
+    obuf_t = chunk_t // out_stride
+    nchunks = -(-nsteps // chunk_t)
+    dt = cfg.dt
+
+    def kernel(forc_hbm, tmp_init, scal_init, out_hbm, tmp_out, scal_out,
+               fbuf, obuf, in_sems, out_sem):
+        tile = pl.program_id(0)
+        p0 = tile * tile_p
+
+        tmp_out[...] = tmp_init[...]
+        scal_out[...] = scal_init[...]
+
+        def in_dma(slot, chunk):
+            return pltpu.make_async_copy(
+                forc_hbm.at[pl.ds(chunk * chunk_t, chunk_t), :,
+                            pl.ds(p0, tile_p)],
+                fbuf.at[slot], in_sems.at[slot])
+
+        in_dma(0, 0).start()
+
+        def chunk_body(chunk, _):
+            slot = jax.lax.rem(chunk, 2)
+
+            @pl.when(chunk + 1 < nchunks)
+            def _():
+                in_dma(1 - slot, chunk + 1).start()
+
+            in_dma(slot, chunk).wait()
+
+            def step_body(tlocal, _):
+                t = chunk * chunk_t + tlocal
+                f = fbuf[slot, tlocal]       # [NCH, TILE_P]
+                run = t < nsteps
+
+                tmp = tmp_out[...]
+                sc = scal_out[...]
+
+                tair = f[C_TAIR]
+                failed_prev = sc[R_FAILED] > 0.5
+                tsurf = sc[R_TSURF]
+                abnormal = (tsurf < -100.0) | (tsurf > 100.0)
+                failed = failed_prev | (f[C_VALID] < 0.5) | abnormal
+                active = (~failed_prev) & run
+
+                # SetCurrentValues + obs forcing
+                obs = f[C_TSURF_OBS]
+                force_obs = obs > -100.0
+                tmp = tmp.at[0].set(tair)
+                tmp = tmp.at[1].set(jnp.where(force_obs, obs, tmp[1]))
+                tmp = tmp.at[2].set(jnp.where(force_obs, obs, tmp[2]))
+                tsurf = jnp.where(force_obs, _surf_ave(tmp, cfg), tsurf)
+
+                # precipitation to storage
+                wat = sc[R_WAT] + f[C_RAIN]
+                snow = sc[R_SNOW] + f[C_SNOW]
+                ice, ice2, dep = sc[R_ICE], sc[R_ICE2], sc[R_DEP]
+
+                # boundary layer + latent heat
+                vz, rhz = f[C_VZ], f[C_RHZ]
+                bl, psim, psih, air_dens, air_hcap = _bl_fixed_point(
+                    sc[R_BLCOND], tsurf, tair, vz, p, bl_iters)
+                raero = jnp.minimum(
+                    (p.log_mom + psim) * (p.log_heat + psih)
+                    / (p.vk_const * p.vk_const * vz), 30.0)
+                tak = tair + 273.15
+                psych_c = 0.1 * (0.00063 * tak + 0.47496)
+                wat_den = (-0.0050 * tsurf * tsurf + 0.0079 * tsurf
+                           + 1000.0028)
+                esurf = _esat(tsurf)
+                eair = jnp.minimum(0.01 * rhz, 1.0) * _esat(tair)
+                le = air_dens * air_hcap * (esurf - eair) / (psych_c * raero)
+                lheat = jnp.where(tsurf >= 0.0, p.lvap, p.lfus)
+                evap = le / (lheat * wat_den) * 1000.0 * dt
+                dry = (le > 0.0) & (wat <= 0.0)
+                le = jnp.where(dry, 0.0, le)
+                evap = jnp.where(dry, 0.0, evap)
+
+                # net radiation
+                tk = tsurf + 273.15
+                tk2 = tk * tk
+                rnet = ((1.0 - sc[R_ALBEDO]) * f[C_SW] * f[C_SWCOF]
+                        + p.emiss * f[C_LW] * f[C_LWCOF]
+                        - p.emiss * p.sb_const * tk2 * tk2)
+
+                # stencil
+                new_tmp, hs1, hstor = _stencil(
+                    tmp, bl, rnet, le, f[C_TRF], dt, p, dyc, cond_dz,
+                    wcont, nlayers)
+
+                # melting limiter
+                q2, t4 = sc[R_Q2MELT], sc[R_T4MELT]
+                in_cpl = f[C_INCPL] > 0.5
+                new_tmp, q2 = _melting(new_tmp, tsurf, snow, ice, ice2, q2,
+                                       t4, hstor, hs1, in_cpl, f[C_CPLOBS],
+                                       cfg, p)
+                tsurf_new = _surf_ave(new_tmp, cfg)
+
+                # storages
+                (wat, snow, ice, ice2, dep, vcold, q2, t4, albedo) = \
+                    _road_cond(wat, snow, ice, ice2, dep, tsurf_new, evap,
+                               q2, t4, sc[R_VERYCOLD] > 0.5, cfg, p)
+
+                # commit (mask by active)
+                sel = lambda n, o: jnp.where(active, n, o)
+                tmp_out[...] = jnp.where(active[None, :], new_tmp, tmp_out[...])
+                sc_new = sc
+                for r, v in ((R_TSURF, tsurf_new), (R_WAT, wat),
+                             (R_SNOW, snow), (R_ICE, ice), (R_ICE2, ice2),
+                             (R_DEP, dep), (R_Q2MELT, q2), (R_T4MELT, t4),
+                             (R_EVAP, evap), (R_BLCOND, bl),
+                             (R_ALBEDO, albedo),
+                             (R_VERYCOLD, vcold.astype(jnp.float32))):
+                    sc_new = sc_new.at[r].set(sel(v, sc[r]))
+                sc_new = sc_new.at[R_FAILED].set(jnp.where(
+                    run, jnp.maximum(failed.astype(jnp.float32),
+                                     sc[R_FAILED]), sc[R_FAILED]))
+                scal_out[...] = sc_new
+
+                # output at stride (the step failing CheckValues still
+                # emits; later steps are poisoned -- step.py semantics)
+                @pl.when(run & (jax.lax.rem(t, out_stride) == 0))
+                def _():
+                    oslot = jax.lax.div(tlocal, out_stride)
+                    poison = failed_prev
+                    def field(r):
+                        return jnp.where(poison, -9999.0, sc_new[r])
+                    row = jnp.stack([field(R_TSURF), field(R_WAT),
+                                     field(R_SNOW), field(R_ICE),
+                                     field(R_ICE2), field(R_DEP),
+                                     jnp.zeros_like(tsurf),
+                                     jnp.zeros_like(tsurf)])
+                    obuf[oslot] = row
+                return ()
+
+            jax.lax.fori_loop(0, chunk_t, step_body, (), unroll=False)
+
+            out_dma = pltpu.make_async_copy(
+                obuf,
+                out_hbm.at[pl.ds(chunk * obuf_t, obuf_t), :,
+                           pl.ds(p0, tile_p)],
+                out_sem)
+            out_dma.start()
+            out_dma.wait()
+            return ()
+
+        jax.lax.fori_loop(0, nchunks, chunk_body, (), unroll=False)
+
+    return kernel, obuf_t, nchunks
+
+
+def pallas_scan(tmp0, scal0, forcing, cfg: StepConfig, p: PhysicsParams,
+                grid: LayerGrid, out_stride: int = 1, chunk_t: int = 128,
+                tile_p: int = 512, bl_iters: int = 40, interpret: bool = False):
+    """Run the fused forecast scan.
+
+    tmp0: [LPAD, P] float32 initial profile (row 0 air, rows 1..L ground,
+    row L+1 climatology; LPAD >= L+2, padded rows ignored);
+    scal0: [NROWS, P] packed scalar state;
+    forcing: [T, NCH, P] packed forcing channels.
+
+    Returns (tmp_final [LPAD, P], scal_final [NROWS, P],
+             out [n_out, N_OUT_FIELDS, P]).
+    """
+    lpad, P = tmp0.shape
+    T = forcing.shape[0]
+    assert P % tile_p == 0, (P, tile_p)
+    assert chunk_t % out_stride == 0
+    assert T % chunk_t == 0, (T, chunk_t)
+    nsteps = T
+    n_out_total = T // out_stride
+
+    kernel, obuf_t, nchunks = _make_kernel(
+        nsteps, chunk_t, out_stride, cfg, p,
+        tuple(np.asarray(grid.dyc, np.float32).tolist()),
+        tuple(np.asarray(grid.cond_dz, np.float32).tolist()),
+        tuple(np.asarray(grid.wcont, np.float32).tolist()),
+        bl_iters, tile_p, lpad)
+
+    n_tiles = P // tile_p
+    out_shape = (
+        jax.ShapeDtypeStruct((n_out_total, N_OUT_FIELDS, P), jnp.float32),
+        jax.ShapeDtypeStruct((lpad, P), jnp.float32),
+        jax.ShapeDtypeStruct((NROWS, P), jnp.float32),
+    )
+    flops_per_point_step = 600.0
+    result = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),          # forcing in HBM
+            pl.BlockSpec((lpad, tile_p), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NROWS, tile_p), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),          # outputs in HBM
+            pl.BlockSpec((lpad, tile_p), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NROWS, tile_p), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk_t, NCH, tile_p), jnp.float32),
+            pltpu.VMEM((obuf_t, N_OUT_FIELDS, tile_p), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(flops_per_point_step * P * nsteps),
+            bytes_accessed=int(forcing.size * 4 + n_out_total * 8 * P * 4),
+            transcendentals=int(10 * P * nsteps),
+        ),
+        interpret=interpret,
+    )(forcing, tmp0, scal0)
+    out, tmp_f, scal_f = result
+    return tmp_f, scal_f, out
+
+
+# ---------------------------------------------------------------------------
+# packing helpers: State/Prepared <-> kernel layouts
+# ---------------------------------------------------------------------------
+
+def pack_state(state, lpad: int = None):
+    """State pytree ([P] leaves, tmp [P, L+2]) -> (tmp0 [LPAD, P],
+    scal0 [NROWS, P]) float32."""
+    tmp = jnp.asarray(state.tmp, jnp.float32).T        # [L+2, P]
+    l2, P = tmp.shape
+    lpad = lpad or -(-l2 // 8) * 8
+    tmp0 = jnp.zeros((lpad, P), jnp.float32).at[:l2].set(tmp)
+    rows = [None] * NROWS
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    rows[R_TSURF] = f32(state.tsurf_ave)
+    rows[R_WAT] = f32(state.wat)
+    rows[R_SNOW] = f32(state.snow)
+    rows[R_ICE] = f32(state.ice)
+    rows[R_ICE2] = f32(state.ice2)
+    rows[R_DEP] = f32(state.dep)
+    rows[R_Q2MELT] = f32(state.q2melt)
+    rows[R_T4MELT] = f32(state.t4melt)
+    rows[R_EVAP] = f32(state.evap)
+    rows[R_BLCOND] = f32(state.blcond)
+    rows[R_ALBEDO] = f32(state.albedo)
+    rows[R_VERYCOLD] = f32(state.very_cold)
+    rows[R_FAILED] = f32(state.failed)
+    zero = jnp.zeros((P,), jnp.float32)
+    scal0 = jnp.stack([r if r is not None else zero for r in rows])
+    return tmp0, scal0
+
+
+def unpack_state(tmp_f, scal_f, nlayers: int, state_template):
+    """Inverse of pack_state (keeps the template's dtype)."""
+    dt = state_template.tmp.dtype
+    return state_template._replace(
+        tmp=jnp.asarray(tmp_f[:nlayers + 2].T, dt),
+        tsurf_ave=jnp.asarray(scal_f[R_TSURF], dt),
+        wat=jnp.asarray(scal_f[R_WAT], dt),
+        snow=jnp.asarray(scal_f[R_SNOW], dt),
+        ice=jnp.asarray(scal_f[R_ICE], dt),
+        ice2=jnp.asarray(scal_f[R_ICE2], dt),
+        dep=jnp.asarray(scal_f[R_DEP], dt),
+        q2melt=jnp.asarray(scal_f[R_Q2MELT], dt),
+        t4melt=jnp.asarray(scal_f[R_T4MELT], dt),
+        evap=jnp.asarray(scal_f[R_EVAP], dt),
+        blcond=jnp.asarray(scal_f[R_BLCOND], dt),
+        albedo=jnp.asarray(scal_f[R_ALBEDO], dt),
+        very_cold=scal_f[R_VERYCOLD] > 0.5,
+        failed=scal_f[R_FAILED] > 0.5)
+
+
+def pack_forcing(prep, sw_cof, lw_cof, coupling_tsurf):
+    """Prepared ([T, P] channels) -> [T, NCH, P] float32."""
+    T, P = prep.tair.shape
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    ch = [None] * NCH
+    ch[C_TAIR] = f32(prep.tair)
+    ch[C_VZ] = f32(prep.vz)
+    ch[C_RHZ] = f32(prep.rhz)
+    ch[C_RAIN] = f32(prep.rain)
+    ch[C_SNOW] = f32(prep.snow)
+    ch[C_SW] = f32(prep.sw)
+    ch[C_LW] = f32(prep.lw)
+    ch[C_TSURF_OBS] = f32(prep.tsurf_obs)
+    ch[C_VALID] = f32(prep.valid)
+    ch[C_TRF] = jnp.broadcast_to(f32(prep.trf_fric)[:, None], (T, P))
+    ch[C_SWCOF] = f32(sw_cof)
+    ch[C_LWCOF] = f32(lw_cof)
+    ch[C_INCPL] = f32(prep.in_coupling)
+    ch[C_CPLOBS] = jnp.broadcast_to(
+        f32(coupling_tsurf)[None, :], (T, P))
+    zero = jnp.zeros((T, P), jnp.float32)
+    return jnp.stack([c if c is not None else zero for c in ch], axis=1)

@@ -80,15 +80,13 @@ def failure_stats(failed, mesh: Optional[Mesh] = None):
         n = failed.sum()
         return n, n / failed.shape[0]
 
-    from jax.experimental.shard_map import shard_map
-
     @jax.jit
     def stats(fl):
         def local(fl_shard):
             cnt = jnp.sum(fl_shard.astype(jnp.int32))
             return jax.lax.psum(cnt, POINTS)
-        f = shard_map(local, mesh=mesh, in_specs=(P(POINTS),),
-                      out_specs=P())
+        f = jax.shard_map(local, mesh=mesh, in_specs=(P(POINTS),),
+                          out_specs=P())
         total = f(fl)
         return total, total / fl.shape[0]
 
