@@ -1,0 +1,264 @@
+"""Weather data sources and the overlay-merging data handler.
+
+Re-derivation of example1's data plane: GenericSource / GenericSourceFactory /
+DataHandler (examples/example1/src/DataHandler.cpp:34-130,
+GenericSourceFactory.cpp) and example2's source set (DataSourceFactory.cpp:39-49).
+
+Sources produce per-point arrays on the simulation grid; the handler overlays
+them in config order -- later sources overwrite earlier values wherever not
+missing (DataHandler.cpp:73-82).  Unlike the reference (per-point virtual
+calls), the merged result here is one [P, T] batch per variable feeding the
+vectorized device pipeline.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json as jsonlib
+import re
+import time as timelib
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..config import ModelSettings
+from ..forcing import RawForcing
+from .interp import MISSING, interpolate_series
+
+VAR_NAMES = ("tair", "tdew", "vz", "rhz", "prec", "sw", "lw", "sw_dir",
+             "lw_net", "tsurf_obs", "prec_phase")
+
+# reference JSON variable names (JsonSource.cpp:196-199)
+JSON_VARS = {
+    "Temperature 2m": "tair",
+    "Humidity": "rhz",
+    "DewPoint": "tdew",
+    "WindSpeed": "vz",
+    "PrecipitationForm": "prec_phase",
+    "Precipitation": "prec",
+    "RadiationNetSurfaceLW": "lw_net",
+    "RadiationLW": "lw",
+    "RadiationGlobal": "sw",
+    "RadiationDirectSW": "sw_dir",
+    "RoadTemperature": "tsurf_obs",
+}
+
+
+def parse_time(s: str, fmt: str = "%Y-%m-%d %H:%M") -> int:
+    """Parse a timestamp string to a UTC epoch (the reference uses mktime /
+    local time consistently on both sides; we use UTC consistently)."""
+    import calendar
+    return calendar.timegm(timelib.strptime(s.strip(), fmt))
+
+
+def read_json_tolerant(path: str):
+    """read_json with comment tolerance (examples/example1/src/JsonTools.cpp):
+    strips // line comments."""
+    with open(path) as f:
+        text = f.read()
+    text = re.sub(r"(?m)//(?![^\n]*[\"']).*$", "", text)
+    return jsonlib.loads(text)
+
+
+@dataclasses.dataclass
+class StationData:
+    """One station's data interpolated to the simulation grid."""
+    point_id: int
+    lat: float
+    lon: float
+    values: Dict[str, np.ndarray]   #: name -> [T] on the sim grid
+
+
+class Source:
+    """Base class (GenericSource, examples/example1/src/GenericSource.h)."""
+
+    is_observation = False
+
+    def stations(self) -> List[StationData]:
+        raise NotImplementedError
+
+
+class JsonSource(Source):
+    """example1 JSON station files (JsonSource.cpp:183-316): per-station time
+    series, Tdew<->RH completion, interpolation to the simulation grid."""
+
+    def __init__(self, path: str, sim_times: np.ndarray,
+                 is_observation: bool = False, data=None):
+        self.is_observation = is_observation
+        self._stations: List[StationData] = []
+        doc = data if data is not None else read_json_tolerant(path)
+        for st in doc:
+            times = np.array([parse_time(t) for t in st.get("time", [])],
+                             np.int64)
+            vals = {}
+            n = len(times)
+            for jname, name in JSON_VARS.items():
+                arr = st.get(jname)
+                if arr is not None:
+                    vals[name] = np.asarray(arr, np.float64)
+                else:
+                    vals[name] = np.full(n, MISSING)
+            if n:
+                # Tdew <-> RH completion (JsonSource.cpp:290-296)
+                from ..physics.moisture import rh_from_tdew, tdew_from_rh
+                tair, td, rh = vals["tair"], vals["tdew"], vals["rhz"]
+                need_td = (td < -100) & (rh > -100) & (tair > -100)
+                need_rh = (rh < -100) & (td > -100) & (tair > -100)
+                if need_td.any():
+                    vals["tdew"] = np.where(
+                        need_td, np.asarray(tdew_from_rh(tair, rh)), td)
+                if need_rh.any():
+                    vals["rhz"] = np.where(
+                        need_rh, np.asarray(rh_from_tdew(tair, td)), rh)
+                interp = interpolate_series(times, sim_times, vals)
+            else:
+                interp = {k: np.full(len(sim_times), MISSING)
+                          for k in VAR_NAMES}
+            self._stations.append(StationData(
+                point_id=int(st.get("statId", 0)),
+                lat=float(st.get("lat", MISSING)),
+                lon=float(st.get("lon", MISSING)),
+                values=interp))
+
+    def stations(self):
+        return self._stations
+
+
+class AsciiSource(Source):
+    """example2 fixed-column ASCII observation rows
+    (examples/example2/src/AsciiSource.cpp): per line
+    ``yy mm dd hh tair rh vz rr1h rform srad lrad tsurf`` for a single
+    station; lat/lon/id given in the source config."""
+
+    _COLS = ("tair", "rhz", "vz", "prec", "prec_phase", "sw", "lw",
+             "tsurf_obs")
+
+    def __init__(self, path: str, sim_times: np.ndarray, point_id: int,
+                 lat: float, lon: float, is_observation: bool = True):
+        self.is_observation = is_observation
+        rows = []
+        with open(path) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) < 12 or parts[0].startswith("#"):
+                    continue
+                rows.append([float(x) for x in parts])
+        if rows:
+            a = np.asarray(rows, np.float64)
+            import calendar
+            epochs = np.array([
+                calendar.timegm((int(y) if y > 100 else 2000 + int(y),
+                                 int(mo), int(d), int(h), 0, 0, 0, 0, 0))
+                for y, mo, d, h in a[:, :4]], np.int64)
+            order = np.argsort(epochs)
+            a = a[order]
+            epochs = epochs[order]
+            vals = {name: a[:, 4 + k] for k, name in enumerate(self._COLS)}
+            interp = interpolate_series(epochs, sim_times, vals)
+        else:
+            interp = {k: np.full(len(sim_times), MISSING)
+                      for k in self._COLS}
+        full = {k: interp.get(k, np.full(len(sim_times), MISSING))
+                for k in VAR_NAMES}
+        self._stations = [StationData(point_id, lat, lon, full)]
+
+    def stations(self):
+        return self._stations
+
+
+class RoadSurfSource(Source):
+    """Warm start from a previous run's output (the rolling forecast cycle;
+    examples/example2/src/RoadSurfSource.cpp:516-616): the previous cycle's
+    road temperature becomes this cycle's TSurfObs input."""
+
+    def __init__(self, path: str, sim_times: np.ndarray,
+                 is_observation: bool = True, max_gap_minutes: int = 180):
+        self.is_observation = is_observation
+        doc = read_json_tolerant(path)
+        self._stations = []
+        for st in doc:
+            times = np.array([parse_time(t, "%Y-%m-%dT%H:%M")
+                              for t in st.get("time", [])], np.int64)
+            vals = {"tsurf_obs": np.asarray(
+                st.get("RoadTemperature", []), np.float64)}
+            interp = interpolate_series(times, sim_times, vals)
+            # gap cap: invalidate interpolated values spanning > max_gap
+            full = {k: np.full(len(sim_times), MISSING) for k in VAR_NAMES}
+            full["tsurf_obs"] = interp["tsurf_obs"]
+            self._stations.append(StationData(
+                point_id=int(st.get("statId", 0)),
+                lat=float(st.get("lat", MISSING)),
+                lon=float(st.get("lon", MISSING)), values=full))
+
+    def stations(self):
+        return self._stations
+
+
+def create_source(cfg: dict, sim_times: np.ndarray) -> Source:
+    """Source factory (GenericSourceFactory.cpp; example2
+    DataSourceFactory.cpp:39-49)."""
+    typ = cfg.get("type", "json")
+    is_obs = cfg.get("source") == "observations"
+    if typ == "json":
+        return JsonSource(cfg["path"], sim_times, is_observation=is_obs)
+    if typ == "ascii":
+        return AsciiSource(cfg["path"], sim_times,
+                           point_id=int(cfg.get("statId", 0)),
+                           lat=float(cfg.get("lat", MISSING)),
+                           lon=float(cfg.get("lon", MISSING)))
+    if typ.lower() == "roadsurf":
+        return RoadSurfSource(cfg["path"], sim_times)
+    raise ValueError(f"Unknown input type: '{typ}'")
+
+
+class DataHandler:
+    """Ordered source list + per-value overlay merge
+    (examples/example1/src/DataHandler.cpp:34-130)."""
+
+    def __init__(self, sources: Sequence[Source]):
+        self.sources = list(sources)
+
+    @classmethod
+    def from_config(cls, config: dict, sim_times: np.ndarray) -> "DataHandler":
+        srcs = [create_source(c, sim_times) for c in config.get("input", [])]
+        return cls(srcs)
+
+    def point_ids(self) -> List[int]:
+        """Point ids from the first source (DataHandler.cpp:88-95)."""
+        if not self.sources:
+            return []
+        return [s.point_id for s in self.sources[0].stations()]
+
+    def locations(self):
+        if not self.sources:
+            return []
+        return [(s.lat, s.lon) for s in self.sources[0].stations()]
+
+    def merged(self, sim_len: int):
+        """Overlay-merge all sources into [P, T] arrays keyed by the first
+        source's point ids.  Returns (RawForcing, obs_tair [P, T])."""
+        ids = self.point_ids()
+        P = len(ids)
+        data = {k: np.full((P, sim_len), MISSING) for k in VAR_NAMES}
+        obs_tair = np.full((P, sim_len), MISSING)
+        index = {pid: i for i, pid in enumerate(ids)}
+        for src in self.sources:
+            for st in src.stations():
+                row = index.get(st.point_id)
+                if row is None:
+                    continue
+                for name in VAR_NAMES:
+                    v = st.values.get(name)
+                    if v is None:
+                        continue
+                    valid = v > (-1000.0 if name == "lw_net" else -100.0)
+                    data[name][row] = np.where(valid, v, data[name][row])
+                    if name == "tair" and src.is_observation:
+                        obs_tair[row] = np.where(valid, v, obs_tair[row])
+        phase = np.where(data["prec_phase"] > -100,
+                         data["prec_phase"], -9999).astype(np.int64)
+        raw = RawForcing(
+            tair=data["tair"], tdew=data["tdew"], vz=data["vz"],
+            rhz=data["rhz"], prec=data["prec"], sw=data["sw"], lw=data["lw"],
+            sw_dir=data["sw_dir"], lw_net=data["lw_net"],
+            tsurf_obs=data["tsurf_obs"], prec_phase=phase)
+        return raw, obs_tair

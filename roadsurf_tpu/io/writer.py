@@ -1,0 +1,95 @@
+"""Output writers: example1-format forecast JSON and binary state
+checkpoints for warm-start cycling.
+
+JSON format per save_output (examples/example1/src/roadrunner.cpp:285-327):
+a list of {statId, lat, lon, time[], RoadTemperature[], Water[], Ice[],
+Snow[], Deposit[]} subsampled at the output step (Ice2 is computed but not
+written by the reference's JSON writer -- replicated; the checkpoint keeps
+it).
+"""
+from __future__ import annotations
+
+import json
+import time as timelib
+from typing import Sequence
+
+import numpy as np
+
+
+def format_times(epochs: Sequence[int], fmt: str = "%Y-%m-%dT%H:%M"):
+    return [timelib.strftime(fmt, timelib.gmtime(int(e))) for e in epochs]
+
+
+def write_forecast_json(path: str, point_ids, lats, lons, sim_epochs,
+                        out_tsurf, out_wat, out_snow, out_ice, out_dep,
+                        output_stride: int = 1):
+    """out_*: [T, P] arrays (or already-strided [T_out, P] with stride 1)."""
+    sl = slice(None, None, output_stride)
+    times = format_times(np.asarray(sim_epochs)[sl])
+    doc = []
+    for i, pid in enumerate(point_ids):
+        doc.append({
+            "statId": int(pid),
+            "lat": float(lats[i]),
+            "lon": float(lons[i]),
+            "time": times,
+            "RoadTemperature": [round(float(v), 5)
+                                for v in np.asarray(out_tsurf)[sl, i]],
+            "Water": [round(float(v), 5) for v in np.asarray(out_wat)[sl, i]],
+            "Ice": [round(float(v), 5) for v in np.asarray(out_ice)[sl, i]],
+            "Snow": [round(float(v), 5) for v in np.asarray(out_snow)[sl, i]],
+            "Deposit": [round(float(v), 5)
+                        for v in np.asarray(out_dep)[sl, i]],
+        })
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
+
+
+def save_checkpoint(path: str, state, point_ids, sim_epoch_end: int):
+    """Binary prognostic-state checkpoint (the reference has none -- it
+    reconstructs from obs+climatology each cycle; SURVEY.md section 5).  The
+    saved set is exactly the coupling snapshot's definition of model state
+    plus the boundary-layer warm start."""
+    np.savez_compressed(
+        path,
+        point_ids=np.asarray(point_ids),
+        epoch=np.int64(sim_epoch_end),
+        tmp=np.asarray(state.tmp),
+        tsurf_ave=np.asarray(state.tsurf_ave),
+        wat=np.asarray(state.wat), snow=np.asarray(state.snow),
+        ice=np.asarray(state.ice), ice2=np.asarray(state.ice2),
+        dep=np.asarray(state.dep),
+        q2melt=np.asarray(state.q2melt), t4melt=np.asarray(state.t4melt),
+        very_cold=np.asarray(state.very_cold),
+        evap=np.asarray(state.evap), blcond=np.asarray(state.blcond),
+        albedo=np.asarray(state.albedo), failed=np.asarray(state.failed))
+
+
+def load_checkpoint(path: str):
+    """Returns (dict of arrays, point_ids, epoch)."""
+    z = np.load(path)
+    fields = {k: z[k] for k in z.files if k not in ("point_ids", "epoch")}
+    return fields, z["point_ids"], int(z["epoch"])
+
+
+def restore_state(path: str, point_ids, state_template):
+    """Build a State from a checkpoint, matching points by id; points absent
+    from the checkpoint keep the template (cold-start) state."""
+    import jax.numpy as jnp
+    fields, ckpt_ids, _ = load_checkpoint(path)
+    index = {int(pid): i for i, pid in enumerate(ckpt_ids)}
+    rows = np.array([index.get(int(p), -1) for p in point_ids])
+    have = rows >= 0
+    rows_c = np.clip(rows, 0, None)
+
+    def merge(name, tmpl):
+        ck = fields[name][rows_c]
+        tmpl_np = np.asarray(tmpl)
+        mask = have.reshape(have.shape + (1,) * (tmpl_np.ndim - 1))
+        return jnp.asarray(np.where(mask, ck, tmpl_np), tmpl.dtype)
+
+    return state_template._replace(
+        **{name: merge(name, getattr(state_template, name))
+           for name in ("tmp", "tsurf_ave", "wat", "snow", "ice", "ice2",
+                        "dep", "q2melt", "t4melt", "very_cold", "evap",
+                        "blcond", "albedo", "failed")})

@@ -1,0 +1,221 @@
+"""CLI runner: the example1 ``roadrunner`` equivalent, batched on device.
+
+Replicates the reference driver flow (examples/example1/src/roadrunner.cpp):
+config JSON -> simulation times -> data sources -> per-point read_input
+semantics -> simulation -> JSON output -- except the per-point WorkQueue
+thread pool becomes one batched device run over all points (optionally
+sharded over every visible accelerator), and warm-start state checkpoints
+replace re-initialization.
+
+Usage:
+    python -m roadsurf_tpu.runner -c config.json [-t YYYYMMDDTHHMM]
+        [-o out.json] [--checkpoint-in ck.npz] [--checkpoint-out ck.npz]
+
+Config format == example1's example_config.json (time/model/parameters/
+output/input sections; missing_limit budget honored).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time as timelib
+from typing import Optional
+
+import numpy as np
+
+from .config import ModelSettings, PhysicsParams
+from .forcing import Calendar
+from .io.driver import derive_point_params
+from .io.skyview import sky_variables
+from .io.sources import DataHandler, read_json_tolerant
+from .io.writer import (restore_state, save_checkpoint, write_forecast_json)
+from .model import Model
+
+
+def parse_forecast_time(s: str) -> int:
+    import calendar
+    return calendar.timegm(timelib.strptime(s, "%Y%m%dT%H%M"))
+
+
+def build_times(config: dict, forecast_time: Optional[int], dt: float):
+    """InputSettings time arithmetic
+    (examples/example1/src/InputSettings.cpp:43-99): start = now - analysis_h,
+    end = now + forecast_h, SimLen = 1 + total/dt."""
+    tsec = config.get("time", {})
+    if forecast_time is None:
+        now_s = tsec.get("now")
+        if now_s:
+            forecast_time = parse_forecast_time(now_s)
+        else:
+            forecast_time = int(timelib.time()) // 60 * 60
+    analysis_h = int(tsec.get("analysis", 24))
+    forecast_h = int(tsec.get("forecast", 48))
+    start = forecast_time - analysis_h * 3600
+    end = forecast_time + forecast_h * 3600
+    sim_len = 1 + int((end - start) / dt)
+    return start, forecast_time, sim_len
+
+
+def run(config_path: str, forecast_time_s: Optional[str] = None,
+        output_path: Optional[str] = None,
+        checkpoint_in: Optional[str] = None,
+        checkpoint_out: Optional[str] = None,
+        verbose: bool = True):
+    import dataclasses
+
+    config = read_json_tolerant(config_path)
+    settings0 = ModelSettings.from_json(config)
+    ftime = parse_forecast_time(forecast_time_s) if forecast_time_s else None
+    start, now, sim_len = build_times(config, ftime, settings0.dt)
+    settings = dataclasses.replace(settings0, sim_len=sim_len)
+    cal = Calendar.from_start(start, settings.dt, sim_len)
+    sim_epochs = start + (np.arange(sim_len) * settings.dt).astype(np.int64)
+
+    if verbose:
+        print(f"Simulation: {sim_len} steps of {settings.dt}s from "
+              f"{timelib.strftime('%Y-%m-%dT%H:%M', timelib.gmtime(start))}")
+
+    # ---- data plane ----------------------------------------------------
+    handler = DataHandler.from_config(config, sim_epochs)
+    raw, obs_tair = handler.merged(sim_len)
+    point_ids = handler.point_ids()
+    locs = handler.locations()
+    if not point_ids:
+        raise SystemExit("No points found in input sources")
+    lats = np.array([l[0] for l in locs])
+    lons = np.array([l[1] for l in locs])
+
+    pcfg = config.get("parameters", {}) or {}
+    svf, horizons = sky_variables(point_ids,
+                                  pcfg.get("sky_view_file"),
+                                  pcfg.get("local_horizon_file"))
+    params = PhysicsParams.from_json(settings, pcfg)
+
+    # init_len default when relaxation is off: 1 + analysis/dt
+    # (roadrunner.cpp:166-168)
+    pts, blanked = derive_point_params(
+        raw, settings, obs_tair=obs_tair if handler.sources else None,
+        lat=lats, lon=lons, sky_view=svf, horizons=horizons)
+    default_init = 1 + int((now - start) / settings.dt)
+    if not settings.use_relaxation:
+        pts = pts._replace(init_len=np.full(len(point_ids), default_init,
+                                            np.int32))
+    raw = raw._replace(tsurf_obs=blanked)
+
+    # required-variable validation (read_input, roadrunner.cpp:183-231):
+    # a point missing any required var anywhere is skipped (reported)
+    required = ("tair", "rhz", "prec", "sw", "lw", "vz")
+    ok = np.ones(len(point_ids), bool)
+    for name in required:
+        missing = np.asarray(getattr(raw, name)) < -9000.0
+        bad = missing.any(axis=1)
+        for i in np.where(bad & ok)[0]:
+            if verbose:
+                t_bad = int(np.argmax(missing[i]))
+                print(f"{name} missing at step {t_bad} "
+                      f"{lats[i]:.4f} {lons[i]:.4f}")
+        ok &= ~bad
+    if verbose and (~ok).any():
+        print(f"Skipping {int((~ok).sum())} / {len(ok)} points "
+              f"with missing required input")
+    # mark skipped points failed up-front by poisoning their validity
+    tair = np.asarray(raw.tair).copy()
+    tair[~ok, :] = -9999.9
+    raw = raw._replace(tair=tair)
+
+    # missing-data budget (example2/src/roadrunner.cpp:536-543, 700-706)
+    missing_limit = float(config.get("missing_limit", 100.0)) / 100.0
+
+    # ---- run ------------------------------------------------------------
+    model = Model(settings, params)
+    t0 = timelib.time()
+    warm_state = None
+    if checkpoint_in:
+        # warm start: previous cycle's prognostic state replaces the
+        # obs+climatology reconstruction (RoadSurfSource analogue done right;
+        # the obs-feedback variant is the 'RoadSurf' input source type)
+        template = model.init(raw, cal)
+        warm_state = restore_state(checkpoint_in, point_ids, template)
+    if settings.use_coupling:
+        if warm_state is not None:
+            from .coupling import run_coupled as _rc
+            prep = model.prepare(raw, pts, cal)
+            final_state, out = _rc(warm_state, prep, pts, settings,
+                                   model.cfg, model.grid, model.params)
+        else:
+            final_state, out = model.run_coupled(raw, pts, cal)
+        out_arr = np.asarray(out)
+        out_fields = {
+            "tsurf": out_arr[:, :, 0], "wat": out_arr[:, :, 1],
+            "snow": out_arr[:, :, 2], "ice": out_arr[:, :, 3],
+            "ice2": out_arr[:, :, 4], "dep": out_arr[:, :, 5]}
+    else:
+        if warm_state is not None:
+            import jax.numpy as jnp
+            from .model import scan_steps
+            prep = model.prepare(raw, pts, cal)
+            ones = jnp.ones(prep.tair.shape, prep.tair.dtype)
+            final_state, sim_out = scan_steps(
+                warm_state, prep, ones, ones,
+                jnp.asarray(pts.coupling_tsurf), model.cfg, model.grid,
+                model.params)
+        else:
+            final_state, sim_out = model.run(raw, pts, cal)
+        out_fields = {
+            "tsurf": np.asarray(sim_out.tsurf), "wat": np.asarray(sim_out.wat),
+            "snow": np.asarray(sim_out.snow), "ice": np.asarray(sim_out.ice),
+            "ice2": np.asarray(sim_out.ice2), "dep": np.asarray(sim_out.dep)}
+    if verbose:
+        print(f"Simulated {len(point_ids)} points x {sim_len} steps "
+              f"in {timelib.time() - t0:.2f}s")
+
+    failed = np.asarray(final_state.failed)
+    fail_ratio = float(failed.mean())
+    if fail_ratio > missing_limit:
+        raise SystemExit(
+            f"Failed-point ratio {fail_ratio:.1%} exceeds missing_limit "
+            f"{missing_limit:.1%}")
+
+    # ---- output ---------------------------------------------------------
+    out_cfg = config.get("output", {}) or {}
+    out_path = output_path or out_cfg.get("filename")
+    if out_path:
+        write_forecast_json(
+            out_path, point_ids, lats, lons, sim_epochs,
+            out_fields["tsurf"], out_fields["wat"], out_fields["snow"],
+            out_fields["ice"], out_fields["dep"],
+            output_stride=settings.output_stride)
+        if verbose:
+            print(f"Wrote {out_path}")
+    if checkpoint_out:
+        save_checkpoint(checkpoint_out, final_state, point_ids,
+                        sim_epochs[-1])
+        if verbose:
+            print(f"Wrote checkpoint {checkpoint_out}")
+    return final_state, out_fields
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="roadsurf-tpu",
+        description="TPU road weather model runner (example1-compatible)")
+    ap.add_argument("-c", "--config", required=False)
+    ap.add_argument("config_pos", nargs="?", help="config file (positional)")
+    ap.add_argument("-t", "--time", help="forecast time YYYYMMDDTHHMM")
+    ap.add_argument("-o", "--output", help="output file override")
+    ap.add_argument("-j", "--jobs", type=int, default=1,
+                    help="accepted for CLI compatibility; batching replaces "
+                         "thread-level parallelism")
+    ap.add_argument("--checkpoint-in", dest="ck_in")
+    ap.add_argument("--checkpoint-out", dest="ck_out")
+    ap.add_argument("-v", "--verbose", action="store_true", default=True)
+    args = ap.parse_args(argv)
+    cfg = args.config or args.config_pos
+    if not cfg:
+        ap.error("Configuration file not given")
+    run(cfg, args.time, args.output, args.ck_in, args.ck_out,
+        verbose=args.verbose)
+
+
+if __name__ == "__main__":
+    main()
