@@ -135,24 +135,12 @@ class AsciiSource(Source):
     def __init__(self, path: str, sim_times: np.ndarray, point_id: int,
                  lat: float, lon: float, is_observation: bool = True):
         self.is_observation = is_observation
-        rows = []
-        with open(path) as f:
-            for line in f:
-                parts = line.split()
-                if len(parts) < 12 or parts[0].startswith("#"):
-                    continue
-                rows.append([float(x) for x in parts])
-        if rows:
-            a = np.asarray(rows, np.float64)
-            import calendar
-            epochs = np.array([
-                calendar.timegm((int(y) if y > 100 else 2000 + int(y),
-                                 int(mo), int(d), int(h), 0, 0, 0, 0, 0))
-                for y, mo, d, h in a[:, :4]], np.int64)
+        epochs, cols = self._parse(path)
+        if len(epochs):
             order = np.argsort(epochs)
-            a = a[order]
             epochs = epochs[order]
-            vals = {name: a[:, 4 + k] for k, name in enumerate(self._COLS)}
+            vals = {name: cols[k][order]
+                    for k, name in enumerate(self._COLS)}
             interp = interpolate_series(epochs, sim_times, vals)
         else:
             interp = {k: np.full(len(sim_times), MISSING)
@@ -160,6 +148,33 @@ class AsciiSource(Source):
         full = {k: interp.get(k, np.full(len(sim_times), MISSING))
                 for k in VAR_NAMES}
         self._stations = [StationData(point_id, lat, lon, full)]
+
+    @staticmethod
+    def _parse(path: str):
+        """Parse rows; uses the native C++ parser when built (native/),
+        falling back to Python."""
+        from . import native
+        with open(path, "rb") as f:
+            blob = f.read()
+        if native.load() is not None:
+            epochs, vals = native.parse_ascii_obs(blob)
+            return epochs, vals
+        rows = []
+        import calendar
+        epochs = []
+        for line in blob.decode().splitlines():
+            parts = line.split()
+            if len(parts) < 12 or parts[0].startswith("#"):
+                continue
+            f12 = [float(x) for x in parts[:12]]
+            y = int(f12[0])
+            epochs.append(calendar.timegm(
+                (y if y > 100 else 2000 + y, int(f12[1]), int(f12[2]),
+                 int(f12[3]), 0, 0, 0, 0, 0)))
+            rows.append(f12[4:12])
+        a = (np.asarray(rows, np.float64).T if rows
+             else np.zeros((8, 0)))
+        return np.asarray(epochs, np.int64), a
 
     def stations(self):
         return self._stations

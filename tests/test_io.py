@@ -218,3 +218,18 @@ def test_runner_missing_budget(tmp_path):
     cfgp.write_text(json.dumps(cfg))
     with pytest.raises(SystemExit, match="exceeds missing_limit"):
         runner.run(str(cfgp), verbose=False)
+
+
+def test_ascii_source(tmp_path):
+    from roadsurf_tpu.io.sources import AsciiSource
+    p = tmp_path / "obs.txt"
+    p.write_text(
+        "19 12 02 00  -3.5  85.0  4.0  0.0  3  0.0  290.0  -4.2\n"
+        "19 12 02 01  -3.0  86.0  4.2  0.5  3  0.0  291.0  -3.9\n")
+    t0 = utc("2019-12-02 00:00")
+    sim_t = np.arange(t0, t0 + 3601, 1800, dtype=np.int64)
+    src = AsciiSource(str(p), sim_t, point_id=5, lat=60.0, lon=25.0)
+    st = src.stations()[0]
+    np.testing.assert_allclose(st.values["tair"], [-3.5, -3.25, -3.0])
+    np.testing.assert_allclose(st.values["tsurf_obs"], [-4.2, -4.05, -3.9])
+    assert src.is_observation

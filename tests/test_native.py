@@ -1,0 +1,74 @@
+"""Native C++ data-plane library: build, bind, and match the numpy reference
+implementation exactly."""
+import numpy as np
+import pytest
+
+from roadsurf_tpu.io import native
+from roadsurf_tpu.io.interp import MISSING, interpolate_series
+
+lib = native.load(build_if_missing=True)
+pytestmark = pytest.mark.skipif(lib is None,
+                                reason="native library build unavailable")
+
+
+def test_interpolate_matches_numpy():
+    rng = np.random.default_rng(0)
+    nst = 37
+    sim_times = np.arange(0, 86400, 300, dtype=np.int64)
+    offsets = [0]
+    raw_times_all = []
+    vals_all = {"a": [], "b": [], "phase": []}
+    for s in range(nst):
+        n = rng.integers(5, 50)
+        t = np.sort(rng.choice(np.arange(0, 90000, 600), size=n,
+                               replace=False)).astype(np.int64)
+        raw_times_all.append(t)
+        a = rng.normal(0, 10, n)
+        a[rng.random(n) < 0.15] = MISSING         # scattered missing
+        b = rng.normal(0, 10, n)
+        ph = rng.integers(0, 7, n).astype(np.float64)
+        vals_all["a"].append(a)
+        vals_all["b"].append(b)
+        vals_all["phase"].append(ph)
+        offsets.append(offsets[-1] + n)
+    offsets = np.asarray(offsets, np.int64)
+    raw_cat = np.concatenate(raw_times_all)
+    values = np.stack([np.concatenate(vals_all["a"]),
+                       np.concatenate(vals_all["b"]),
+                       np.concatenate(vals_all["phase"])])
+    out = native.interpolate_columns(
+        offsets, raw_cat, sim_times, values,
+        miss_thresh=np.array([-100.0, -100.0, -100.0]),
+        nearest_next=np.array([0, 0, 1], np.int32), nthreads=4)
+
+    for s in range(nst):
+        t = raw_times_all[s]
+        ref = interpolate_series(
+            t, sim_times,
+            {"a": vals_all["a"][s], "b": vals_all["b"][s],
+             "prec_phase": vals_all["phase"][s]})
+        np.testing.assert_allclose(out[s, 0], ref["a"], rtol=1e-12,
+                                   err_msg=f"station {s} var a")
+        np.testing.assert_allclose(out[s, 1], ref["b"], rtol=1e-12)
+        np.testing.assert_allclose(out[s, 2], ref["prec_phase"], rtol=1e-12)
+
+
+def test_parse_ascii_obs():
+    text = b"""# comment line
+19 12 02 00  -3.5  85.0  4.0  0.0  3  0.0  290.0  -4.2
+19 12 02 01  -3.0  86.0  4.2  0.5  3  0.0  291.0  -3.9
+2019 12 02 02  -2.5  87.0  4.4  1.0  2  10.0  292.0  -3.6
+"""
+    epochs, vals = native.parse_ascii_obs(text)
+    assert len(epochs) == 3
+    import calendar
+    assert epochs[0] == calendar.timegm((2019, 12, 2, 0, 0, 0))
+    assert epochs[2] == calendar.timegm((2019, 12, 2, 2, 0, 0))
+    np.testing.assert_allclose(vals[0], [-3.5, -3.0, -2.5])   # tair
+    np.testing.assert_allclose(vals[7], [-4.2, -3.9, -3.6])   # tsurf
+
+
+def test_parse_ascii_skips_garbage():
+    text = b"not a data line\n19 12 02 00 -1 80 3 0 3 0 290 -2\n"
+    epochs, vals = native.parse_ascii_obs(text)
+    assert len(epochs) == 1
