@@ -1,0 +1,113 @@
+"""Point modes: where the simulation points come from.
+
+Re-derivation of example2's PointMode dispatch
+(examples/example2/src/PointMode.cpp:3-25, roadrunner.cpp:779-792):
+
+ * ``stations``    -- points are the input sources' stations (example1 mode);
+ * ``coordinate``  -- a single lat/lon;
+ * ``coordinates`` -- an explicit list of lat/lon pairs;
+ * ``grid``        -- a regular lat/lon grid over a bounding box, optionally
+                      filtered by an ASCII character mask
+                      (roadrunner.cpp:331-408).
+
+Non-station points take their forcing from the nearest source station within
+a radius -- the NearTree pattern of RoadSurfSource
+(examples/example2/src/RoadSurfSource.cpp:516-616) applied to all variables.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..forcing import RawForcing
+
+EARTH_R_KM = 6371.0
+
+
+def haversine_km(lat1, lon1, lat2, lon2):
+    """Great-circle distance; inputs degrees, broadcastable."""
+    la1, lo1, la2, lo2 = map(np.radians, (lat1, lon1, lat2, lon2))
+    a = (np.sin((la2 - la1) / 2.0) ** 2
+         + np.cos(la1) * np.cos(la2) * np.sin((lo2 - lo1) / 2.0) ** 2)
+    return 2.0 * EARTH_R_KM * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
+
+
+def parse_points(config: dict):
+    """Returns (mode, lats [P], lons [P]) from the config 'points' section;
+    mode 'stations' yields empty arrays (points come from the sources)."""
+    sec = config.get("points")
+    if not sec:
+        return "stations", np.array([]), np.array([])
+    if "latlon" in sec:                      # single coordinate
+        lat, lon = sec["latlon"]
+        return "coordinate", np.array([lat]), np.array([lon])
+    if "coordinates" in sec:
+        arr = np.asarray(sec["coordinates"], np.float64)
+        return "coordinates", arr[:, 0], arr[:, 1]
+    if "grid" in sec:
+        g = sec["grid"]
+        lat1, lon1, lat2, lon2 = g["bbox"]
+        ny, nx = int(g.get("ny", 10)), int(g.get("nx", 10))
+        lats = np.linspace(lat1, lat2, ny)
+        lons = np.linspace(lon1, lon2, nx)
+        glat, glon = np.meshgrid(lats, lons, indexing="ij")
+        keep = np.ones(glat.shape, bool)
+        mask_cfg = sec.get("mask") or g.get("mask")
+        if mask_cfg:
+            keep = read_ascii_mask(mask_cfg["path"], ny, nx,
+                                   mask_cfg.get("include", "1"))
+        return "grid", glat[keep].ravel(), glon[keep].ravel()
+    raise ValueError("Unrecognized 'points' section")
+
+
+def read_ascii_mask(path: str, ny: int, nx: int, include: str) -> np.ndarray:
+    """ASCII character-grid mask (examples/example2/src/roadrunner.cpp:331-408):
+    row-per-line character grid; a cell is kept iff its character is in
+    ``include``."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if line:
+                rows.append([c in include for c in line[:nx]])
+    m = np.zeros((ny, nx), bool)
+    for i, r in enumerate(rows[:ny]):
+        m[i, :len(r)] = r
+    return m
+
+
+def nearest_station_forcing(raw: RawForcing, st_lats, st_lons, lats, lons,
+                            max_radius_km: float = 50.0
+                            ) -> Tuple[RawForcing, np.ndarray]:
+    """Map station-keyed forcing [S, T] to arbitrary points [P, T] via
+    nearest station within ``max_radius_km``; points with no station in range
+    get fully-missing forcing (-> skipped by the required-var validation).
+
+    Returns (RawForcing [P, T], station_index [P] with -1 for out-of-range).
+    """
+    st_lats = np.asarray(st_lats, np.float64)
+    st_lons = np.asarray(st_lons, np.float64)
+    lats = np.asarray(lats, np.float64)
+    lons = np.asarray(lons, np.float64)
+    d = haversine_km(lats[:, None], lons[:, None],
+                     st_lats[None, :], st_lons[None, :])    # [P, S]
+    idx = np.argmin(d, axis=1)
+    dist = d[np.arange(len(lats)), idx]
+    ok = dist <= max_radius_km
+    idx_eff = np.where(ok, idx, 0)
+
+    def take(x, fill):
+        out = np.asarray(x)[idx_eff]
+        out = np.where(ok[:, None], out, fill)
+        return out
+
+    mapped = RawForcing(
+        tair=take(raw.tair, -9999.9), tdew=take(raw.tdew, -9999.9),
+        vz=take(raw.vz, -9999.9), rhz=take(raw.rhz, -9999.9),
+        prec=take(raw.prec, -9999.9), sw=take(raw.sw, -9999.9),
+        lw=take(raw.lw, -9999.9), sw_dir=take(raw.sw_dir, -9999.9),
+        lw_net=take(raw.lw_net, -9999.9),
+        tsurf_obs=take(raw.tsurf_obs, -9999.9),
+        prec_phase=take(raw.prec_phase, -9999).astype(np.int64))
+    return mapped, np.where(ok, idx, -1)

@@ -85,6 +85,23 @@ def run(config_path: str, forecast_time_s: Optional[str] = None,
     lats = np.array([l[0] for l in locs])
     lons = np.array([l[1] for l in locs])
 
+    # point modes (example2 Coordinate/Coordinates/Grid; io/points.py)
+    from .io.points import nearest_station_forcing, parse_points
+    mode, plats, plons = parse_points(config)
+    if mode != "stations":
+        radius = float((config.get("points") or {}).get(
+            "max_radius_km", 50.0))
+        raw, st_idx = nearest_station_forcing(raw, lats, lons, plats, plons,
+                                              max_radius_km=radius)
+        obs_tair = np.where(
+            (st_idx >= 0)[:, None],
+            np.asarray(obs_tair)[np.clip(st_idx, 0, None)], -9999.9)
+        lats, lons = plats, plons
+        point_ids = list(range(1, len(plats) + 1))
+        if verbose:
+            print(f"Point mode '{mode}': {len(plats)} points "
+                  f"({int((st_idx < 0).sum())} outside station radius)")
+
     pcfg = config.get("parameters", {}) or {}
     svf, horizons = sky_variables(point_ids,
                                   pcfg.get("sky_view_file"),
