@@ -55,6 +55,13 @@ NCH = 16
 
 N_OUT_FIELDS = 8  # tsurf, wat, snow, ice, ice2, dep, (2 pad)
 
+# point-tile geometry: each kernel program owns SUBL*LANE = 1024 points laid
+# out as one full (8, 128) f32 vreg per scalar row -- full VPU utilization
+# (a flat [1024] row would occupy 8 vregs at 1/8 sublane usage).
+SUBL = 8
+LANE = 128
+TILE_P = SUBL * LANE
+
 
 def _esat(t):
     e_ice = 0.61078 * jnp.exp(21.875 * t / (t + 265.5))
@@ -71,8 +78,11 @@ def _bl_fixed_point(blcond, tsurf, tair, vz, p: PhysicsParams, n_iter: int):
     air_vcap = air_hcap * air_dens
     dt_ts = tsurf - tair
 
+    # NOTE: the done-mask is carried as float32 (0/1) -- Mosaic cannot
+    # legalize i1 vectors in scf.for carries.
     def body(j, carry):
-        bl, psim, psih, done = carry
+        bl, psim, psih, done_f = carry
+        done = done_f > 0.5
         ustar = p.vk_const * vz / (p.log_ustar + psim)
         bl_new = air_vcap * p.vk_const * ustar / (p.log_cond + psih)
         stab = (-p.vk_const * p.zref_t * p.grav * bl_new * dt_ts
@@ -88,10 +98,13 @@ def _bl_fixed_point(blcond, tsurf, tair, vz, p: PhysicsParams, n_iter: int):
         bl = jnp.where(done, bl, bl_new)
         psim = jnp.where(done, psim, psim_n)
         psih = jnp.where(done, psih, psih_n)
-        return bl, psim, psih, done | newly
+        return bl, psim, psih, jnp.maximum(done_f, newly.astype(jnp.float32))
 
-    done0 = jnp.zeros_like(blcond, dtype=bool)
+    done0 = jnp.zeros_like(blcond)
     carry = (blcond, jnp.zeros_like(blcond), jnp.zeros_like(blcond), done0)
+    # NOTE: a while_loop with an all-converged exit test was measured SLOWER
+    # than the fixed masked loop on v5e (the per-iteration min-reduction +
+    # scalar branch cost more than the skipped iterations); fori it is.
     carry = jax.lax.fori_loop(0, n_iter, body, carry)
     bl, psim, psih, _ = carry
     return bl, psim, psih, air_dens, air_hcap
@@ -124,9 +137,10 @@ def _stencil(tmp, bl, rnet, le, trf, dt, p, dyc, cond_dz, wcont, nlayers):
         updates.append(tmp[j] + dt * cap_dz * (gflux - g_prev))
         g_prev = gflux
     t1a = (tmp[1] + 3.0 * tmp[2]) / 4.0
-    new_tmp = tmp
-    for j, u in enumerate(updates, start=1):
-        new_tmp = new_tmp.at[j].set(u)
+    lpad = tmp.shape[0]
+    rows = ([tmp[0]] + updates
+            + [tmp[j] for j in range(nlayers + 1, lpad)])
+    new_tmp = jnp.stack(rows)
     tna = (new_tmp[1] + 3.0 * new_tmp[2]) / 4.0
     hstor = hs1 * (tna - t1a)
     return new_tmp, hs1, hstor
@@ -155,8 +169,10 @@ def _melting(tmp_new, tsurf, snow, ice, ice2, q2, t4, hstor, hs1,
     all_used = q2 >= qavail
     t1p = jnp.where(all_used, t4 + 0.01, t4 + (qavail - q2) / hs1)
     t2p = t4 + 0.01
-    tmp_out = tmp_new.at[1].set(jnp.where(pin, t1p, tmp_new[1]))
-    tmp_out = tmp_out.at[2].set(jnp.where(pin, t2p, tmp_new[2]))
+    tmp_out = jnp.stack(
+        [tmp_new[0], jnp.where(pin, t1p, tmp_new[1]),
+         jnp.where(pin, t2p, tmp_new[2])]
+        + [tmp_new[j] for j in range(3, tmp_new.shape[0])])
     q2_out = jnp.where(has_frozen & cold, 0.0, q2_out)
     q2_out = jnp.where(has_frozen & hot, jnp.minimum(q2_out, qavail), q2_out)
     q2_out = jnp.where(pin & all_used, qavail, q2_out)
@@ -274,6 +290,7 @@ def _road_cond(wat, snow, ice, ice2, dep, tsurf, evap, q2, t4, vcold,
 
 def _make_kernel(nsteps, chunk_t, out_stride, cfg, p, dyc, cond_dz, wcont,
                  bl_iters, tile_p, lpad):
+    assert tile_p == SUBL * LANE
     nlayers = len(dyc)
     obuf_t = chunk_t // out_stride
     nchunks = -(-nsteps // chunk_t)
@@ -282,7 +299,7 @@ def _make_kernel(nsteps, chunk_t, out_stride, cfg, p, dyc, cond_dz, wcont,
     def kernel(forc_hbm, tmp_init, scal_init, out_hbm, tmp_out, scal_out,
                fbuf, obuf, in_sems, out_sem):
         tile = pl.program_id(0)
-        p0 = tile * tile_p
+        p0 = tile * SUBL
 
         tmp_out[...] = tmp_init[...]
         scal_out[...] = scal_init[...]
@@ -290,7 +307,7 @@ def _make_kernel(nsteps, chunk_t, out_stride, cfg, p, dyc, cond_dz, wcont,
         def in_dma(slot, chunk):
             return pltpu.make_async_copy(
                 forc_hbm.at[pl.ds(chunk * chunk_t, chunk_t), :,
-                            pl.ds(p0, tile_p)],
+                            pl.ds(p0, SUBL), :],
                 fbuf.at[slot], in_sems.at[slot])
 
         in_dma(0, 0).start()
@@ -306,7 +323,7 @@ def _make_kernel(nsteps, chunk_t, out_stride, cfg, p, dyc, cond_dz, wcont,
 
             def step_body(tlocal, _):
                 t = chunk * chunk_t + tlocal
-                f = fbuf[slot, tlocal]       # [NCH, TILE_P]
+                f = fbuf[slot, tlocal]       # [NCH, SUBL, LANE]
                 run = t < nsteps
 
                 tmp = tmp_out[...]
@@ -322,9 +339,10 @@ def _make_kernel(nsteps, chunk_t, out_stride, cfg, p, dyc, cond_dz, wcont,
                 # SetCurrentValues + obs forcing
                 obs = f[C_TSURF_OBS]
                 force_obs = obs > -100.0
-                tmp = tmp.at[0].set(tair)
-                tmp = tmp.at[1].set(jnp.where(force_obs, obs, tmp[1]))
-                tmp = tmp.at[2].set(jnp.where(force_obs, obs, tmp[2]))
+                tmp = jnp.stack(
+                    [tair, jnp.where(force_obs, obs, tmp[1]),
+                     jnp.where(force_obs, obs, tmp[2])]
+                    + [tmp[j] for j in range(3, tmp.shape[0])])
                 tsurf = jnp.where(force_obs, _surf_ave(tmp, cfg), tsurf)
 
                 # precipitation to storage
@@ -379,18 +397,27 @@ def _make_kernel(nsteps, chunk_t, out_stride, cfg, p, dyc, cond_dz, wcont,
 
                 # commit (mask by active)
                 sel = lambda n, o: jnp.where(active, n, o)
-                tmp_out[...] = jnp.where(active[None, :], new_tmp, tmp_out[...])
-                sc_new = sc
-                for r, v in ((R_TSURF, tsurf_new), (R_WAT, wat),
-                             (R_SNOW, snow), (R_ICE, ice), (R_ICE2, ice2),
-                             (R_DEP, dep), (R_Q2MELT, q2), (R_T4MELT, t4),
-                             (R_EVAP, evap), (R_BLCOND, bl),
-                             (R_ALBEDO, albedo),
-                             (R_VERYCOLD, vcold.astype(jnp.float32))):
-                    sc_new = sc_new.at[r].set(sel(v, sc[r]))
-                sc_new = sc_new.at[R_FAILED].set(jnp.where(
-                    run, jnp.maximum(failed.astype(jnp.float32),
-                                     sc[R_FAILED]), sc[R_FAILED]))
+                tmp_out[...] = jnp.where(active[None], new_tmp, tmp_out[...])
+                updates = {
+                    R_TSURF: sel(tsurf_new, sc[R_TSURF]),
+                    R_WAT: sel(wat, sc[R_WAT]),
+                    R_SNOW: sel(snow, sc[R_SNOW]),
+                    R_ICE: sel(ice, sc[R_ICE]),
+                    R_ICE2: sel(ice2, sc[R_ICE2]),
+                    R_DEP: sel(dep, sc[R_DEP]),
+                    R_Q2MELT: sel(q2, sc[R_Q2MELT]),
+                    R_T4MELT: sel(t4, sc[R_T4MELT]),
+                    R_EVAP: sel(evap, sc[R_EVAP]),
+                    R_BLCOND: sel(bl, sc[R_BLCOND]),
+                    R_ALBEDO: sel(albedo, sc[R_ALBEDO]),
+                    R_VERYCOLD: sel(vcold.astype(jnp.float32),
+                                    sc[R_VERYCOLD]),
+                    R_FAILED: jnp.where(
+                        run, jnp.maximum(failed.astype(jnp.float32),
+                                         sc[R_FAILED]), sc[R_FAILED]),
+                }
+                sc_new = jnp.stack([updates.get(r, sc[r])
+                                    for r in range(NROWS)])
                 scal_out[...] = sc_new
 
                 # output at stride (the step failing CheckValues still
@@ -414,7 +441,7 @@ def _make_kernel(nsteps, chunk_t, out_stride, cfg, p, dyc, cond_dz, wcont,
             out_dma = pltpu.make_async_copy(
                 obuf,
                 out_hbm.at[pl.ds(chunk * obuf_t, obuf_t), :,
-                           pl.ds(p0, tile_p)],
+                           pl.ds(p0, SUBL), :],
                 out_sem)
             out_dma.start()
             out_dma.wait()
@@ -427,7 +454,8 @@ def _make_kernel(nsteps, chunk_t, out_stride, cfg, p, dyc, cond_dz, wcont,
 
 def pallas_scan(tmp0, scal0, forcing, cfg: StepConfig, p: PhysicsParams,
                 grid: LayerGrid, out_stride: int = 1, chunk_t: int = 128,
-                tile_p: int = 512, bl_iters: int = 40, interpret: bool = False):
+                tile_p: int = None, bl_iters: int = 40,
+                interpret: bool = False):
     """Run the fused forecast scan.
 
     tmp0: [LPAD, P] float32 initial profile (row 0 air, rows 1..L ground,
@@ -440,11 +468,16 @@ def pallas_scan(tmp0, scal0, forcing, cfg: StepConfig, p: PhysicsParams,
     """
     lpad, P = tmp0.shape
     T = forcing.shape[0]
+    tile_p = TILE_P
     assert P % tile_p == 0, (P, tile_p)
     assert chunk_t % out_stride == 0
     assert T % chunk_t == 0, (T, chunk_t)
     nsteps = T
     n_out_total = T // out_stride
+    rows = P // LANE                      # trailing (rows, LANE) point layout
+    tmp0 = tmp0.reshape(lpad, rows, LANE)
+    scal0 = scal0.reshape(NROWS, rows, LANE)
+    forcing = forcing.reshape(T, NCH, rows, LANE)
 
     kernel, obuf_t, nchunks = _make_kernel(
         nsteps, chunk_t, out_stride, cfg, p,
@@ -455,9 +488,10 @@ def pallas_scan(tmp0, scal0, forcing, cfg: StepConfig, p: PhysicsParams,
 
     n_tiles = P // tile_p
     out_shape = (
-        jax.ShapeDtypeStruct((n_out_total, N_OUT_FIELDS, P), jnp.float32),
-        jax.ShapeDtypeStruct((lpad, P), jnp.float32),
-        jax.ShapeDtypeStruct((NROWS, P), jnp.float32),
+        jax.ShapeDtypeStruct((n_out_total, N_OUT_FIELDS, rows, LANE),
+                             jnp.float32),
+        jax.ShapeDtypeStruct((lpad, rows, LANE), jnp.float32),
+        jax.ShapeDtypeStruct((NROWS, rows, LANE), jnp.float32),
     )
     flops_per_point_step = 600.0
     result = pl.pallas_call(
@@ -465,22 +499,22 @@ def pallas_scan(tmp0, scal0, forcing, cfg: StepConfig, p: PhysicsParams,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),          # forcing in HBM
-            pl.BlockSpec((lpad, tile_p), lambda i: (0, i),
+            pl.BlockSpec((lpad, SUBL, LANE), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((NROWS, tile_p), lambda i: (0, i),
+            pl.BlockSpec((NROWS, SUBL, LANE), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),          # outputs in HBM
-            pl.BlockSpec((lpad, tile_p), lambda i: (0, i),
+            pl.BlockSpec((lpad, SUBL, LANE), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((NROWS, tile_p), lambda i: (0, i),
+            pl.BlockSpec((NROWS, SUBL, LANE), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2, chunk_t, NCH, tile_p), jnp.float32),
-            pltpu.VMEM((obuf_t, N_OUT_FIELDS, tile_p), jnp.float32),
+            pltpu.VMEM((2, chunk_t, NCH, SUBL, LANE), jnp.float32),
+            pltpu.VMEM((obuf_t, N_OUT_FIELDS, SUBL, LANE), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
@@ -495,7 +529,8 @@ def pallas_scan(tmp0, scal0, forcing, cfg: StepConfig, p: PhysicsParams,
         interpret=interpret,
     )(forcing, tmp0, scal0)
     out, tmp_f, scal_f = result
-    return tmp_f, scal_f, out
+    return (tmp_f.reshape(lpad, P), scal_f.reshape(NROWS, P),
+            out.reshape(n_out_total, N_OUT_FIELDS, P))
 
 
 # ---------------------------------------------------------------------------

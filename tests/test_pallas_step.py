@@ -12,7 +12,7 @@ from roadsurf_tpu.ops import pallas_step as ps
 from roadsurf_tpu.state import default_point_params
 
 
-def _run_pair(scenario="winter_mix", sim_len=256, npoints=256, seed=21,
+def _run_pair(scenario="winter_mix", sim_len=128, npoints=1024, seed=21,
               out_stride=1, chunk_t=64):
     settings = ModelSettings(sim_len=sim_len, dt=30.0)
     model = Model(settings)
@@ -36,7 +36,7 @@ def _run_pair(scenario="winter_mix", sim_len=256, npoints=256, seed=21,
     forcing = ps.pack_forcing(prep, ones, ones, obs)
     tmp_f, scal_f, out = ps.pallas_scan(
         tmp0, scal0, forcing, model.cfg, model.params, model.grid,
-        out_stride=out_stride, chunk_t=chunk_t, tile_p=128, interpret=True)
+        out_stride=out_stride, chunk_t=chunk_t, interpret=True)
     final_pal = ps.unpack_state(tmp_f, scal_f, settings.nlayers, state)
     return final_ref, out_ref, final_pal, out, out_stride
 
