@@ -225,7 +225,7 @@ def _save(state: State, snap: Snapshot, do) -> Snapshot:
 
 def run_coupled(state: State, prep: Prepared, pts: PointParams,
                 settings: ModelSettings, cfg: StepConfig, grid: LayerGrid,
-                p: PhysicsParams, out_stride: int = 1):
+                p: PhysicsParams, out_stride: int = 1, depth=None):
     """Full simulation with coupling via the per-point-PC while_loop.
 
     Returns (final_state, out [n_out, P, 6]) where
@@ -344,7 +344,7 @@ def run_coupled(state: State, prep: Prepared, pts: PointParams,
             lw=gather(prep.lw, ip), tsurf_obs=gather(prep.tsurf_obs, ip),
             valid=valid, in_coupling=in_cpl,
             trf_fric=prep.trf_fric[ip], sw_cof=cv.sw_cof, lw_cof=cv.lw_cof)
-        stepped = step(st, f, obs, cfg, dyc, cond_dz, wcont, p)
+        stepped = step(st, f, obs, cfg, dyc, cond_dz, wcont, p, depth=depth)
         st_new = jax.tree.map(
             lambda n, o: jnp.where(
                 active.reshape(active.shape + (1,) * (n.ndim - active.ndim)),
@@ -380,12 +380,14 @@ def run_coupled(state: State, prep: Prepared, pts: PointParams,
         trf_fric=prep.trf_fric[ip], sw_cof=cv.sw_cof, lw_cof=cv.lw_cof)
     # lastValues recomputes TsurfAve from the committed profile first
     from .physics.soil import surface_average
+    didx, dw, duse = depth if depth is not None else (
+        cfg.depth_idx, cfg.depth_w, cfg.use_depth)
     tmp0 = st.tmp.at[..., 0].set(jnp.where(ok, f.tair, st.tmp[..., 0]))
     st = st._replace(
         tmp=tmp0,
-        tsurf_ave=jnp.where(ok, surface_average(
-            tmp0, cfg.depth_idx, cfg.depth_w, cfg.use_depth), st.tsurf_ave))
-    stepped = step(st, f, obs, cfg, dyc, cond_dz, wcont, p)
+        tsurf_ave=jnp.where(ok, surface_average(tmp0, didx, dw, duse),
+                            st.tsurf_ave))
+    stepped = step(st, f, obs, cfg, dyc, cond_dz, wcont, p, depth=depth)
     st_final = jax.tree.map(
         lambda n, o: jnp.where(
             ok.reshape(ok.shape + (1,) * (n.ndim - ok.ndim)), n, o),

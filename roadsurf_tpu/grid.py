@@ -90,6 +90,26 @@ def day_of_year(year: int, month: int, day: int) -> int:
     return (mon_end_leap if leap else mon_end)[month - 1] + day
 
 
+def depth_interp_coeffs_vec(grid: LayerGrid, depths):
+    """Vectorized depth_interp_coeffs for per-point output depths
+    (ex2's modelInput%depth): returns (idx [P] int32, w [P], use [P] bool);
+    missing depths (< 0) get use=False."""
+    z = grid.zdepth
+    n = grid.nlayers
+    depths = np.asarray(depths, np.float64)
+    use = depths >= 0.0
+    d = np.where(use, depths, 0.0)
+    near_zero = np.abs(d) < 1e-5
+    beyond = d > z[n]
+    # find k with z[k] < d <= z[k+1]
+    k = np.clip(np.searchsorted(z, d, side="left") - 1, 0, n - 1)
+    w = (d - z[k]) / (z[k + 1] - z[k])
+    idx = k + 1
+    idx = np.where(near_zero, 1, np.where(beyond, n + 1, idx))
+    w = np.where(near_zero | beyond, 0.0, w)
+    return idx.astype(np.int32), w, use
+
+
 def depth_interp_coeffs(grid: LayerGrid, depth: float):
     """Static interpolation (node index, weight) for output temperature at a
     given depth (src/BalanceModel.f90:390-417).  Returns (idx, w) such that

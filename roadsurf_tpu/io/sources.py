@@ -222,6 +222,12 @@ def create_source(cfg: dict, sim_times: np.ndarray) -> Source:
                            lon=float(cfg.get("lon", MISSING)))
     if typ.lower() == "roadsurf":
         return RoadSurfSource(cfg["path"], sim_times)
+    if typ == "smartmet":
+        from .smartmet import SmartMetSource
+        return SmartMetSource(cfg, sim_times,
+                              is_observation=cfg.get("source",
+                                                     "observations")
+                              == "observations")
     raise ValueError(f"Unknown input type: '{typ}'")
 
 

@@ -44,7 +44,7 @@ def _depth_config(settings: ModelSettings, grid: LayerGrid) -> StepConfig:
 
 def scan_steps(state: State, prep: Prepared, sw_cof, lw_cof, coupling_tsurf,
                cfg: StepConfig, grid: LayerGrid, p: PhysicsParams,
-               collect: bool = True):
+               collect: bool = True, depth=None):
     """Scan the step over the time axis of ``prep``.
 
     sw_cof/lw_cof: [T, P] radiation-coefficient schedules (ones when
@@ -60,7 +60,8 @@ def scan_steps(state: State, prep: Prepared, sw_cof, lw_cof, coupling_tsurf,
          trf, swc, lwc) = xs
         f = StepForcing(tair, vz, rhz, rain, snow, sw, lw, tsurf_obs, valid,
                         in_coupling, trf, swc, lwc)
-        new = step(carry, f, coupling_tsurf, cfg, dyc, cond_dz, wcont, p)
+        new = step(carry, f, coupling_tsurf, cfg, dyc, cond_dz, wcont, p,
+                   depth=depth)
         out = step_output(new, carry.failed) if collect else None
         return new, out
 
@@ -85,25 +86,45 @@ class Model:
     def prepare(self, raw: RawForcing, pts: PointParams, cal: Calendar) -> Prepared:
         return prepare(raw, pts, cal, self.settings, self.params)
 
-    def init(self, raw: RawForcing, cal: Calendar, dtype=None) -> State:
+    def depth_arrays(self, pts: PointParams, dtype=None):
+        """Per-point output-depth gather arrays, or None.  The global
+        settings.tsurf_output_depth wins when set (InputOutput.f90:125-130);
+        otherwise per-point depths come from pts.out_depth (ex2's
+        modelInput%depth)."""
+        import numpy as _np
+        if self.cfg.use_depth:
+            return None
+        od = _np.asarray(pts.out_depth)
+        if od.size == 0 or not (od >= 0.0).any():
+            return None
+        from .grid import depth_interp_coeffs_vec
+        idx, w, use = depth_interp_coeffs_vec(self.grid, od)
+        return (jnp.asarray(idx), jnp.asarray(w, dtype or jnp.float64),
+                jnp.asarray(use))
+
+    def init(self, raw: RawForcing, cal: Calendar, dtype=None,
+             pts: Optional[PointParams] = None) -> State:
         date0 = (int(cal.year[0]), int(cal.month[0]), int(cal.day[0]))
+        depth = self.depth_arrays(pts, dtype) if pts is not None else None
+        didx, dw, duse = depth if depth is not None else (
+            self.cfg.depth_idx, self.cfg.depth_w, self.cfg.use_depth)
         return init_state(self.settings, self.params, self.grid,
                           raw.tair[..., 0], raw.vz[..., 0], raw.rhz[..., 0],
                           raw.tsurf_obs[..., 0], date0,
-                          depth_idx=self.cfg.depth_idx,
-                          depth_w=self.cfg.depth_w,
-                          use_depth=self.cfg.use_depth, dtype=dtype)
+                          depth_idx=didx, depth_w=dw,
+                          use_depth=duse, dtype=dtype)
 
     def run(self, raw: RawForcing, pts: PointParams, cal: Calendar,
             collect: bool = True):
         """Uncoupled batched simulation (use_coupling handled by
         roadsurf_tpu.coupling.run_coupled)."""
         prep = self.prepare(raw, pts, cal)
-        state = self.init(raw, cal, dtype=prep.tair.dtype)
-        T = prep.tair.shape[0]
+        state = self.init(raw, cal, dtype=prep.tair.dtype, pts=pts)
         ones = jnp.ones(prep.tair.shape, prep.tair.dtype)
+        depth = self.depth_arrays(pts, prep.tair.dtype)
         return scan_steps(state, prep, ones, ones, pts.coupling_tsurf,
-                          self.cfg, self.grid, self.params, collect=collect)
+                          self.cfg, self.grid, self.params, collect=collect,
+                          depth=depth)
 
     def run_coupled(self, raw: RawForcing, pts: PointParams, cal: Calendar,
                     out_stride: int = 1):
@@ -111,6 +132,8 @@ class Model:
         see roadsurf_tpu.coupling)."""
         from .coupling import run_coupled
         prep = self.prepare(raw, pts, cal)
-        state = self.init(raw, cal, dtype=prep.tair.dtype)
+        state = self.init(raw, cal, dtype=prep.tair.dtype, pts=pts)
+        depth = self.depth_arrays(pts, prep.tair.dtype)
         return run_coupled(state, prep, pts, self.settings, self.cfg,
-                           self.grid, self.params, out_stride=out_stride)
+                           self.grid, self.params, out_stride=out_stride,
+                           depth=depth)

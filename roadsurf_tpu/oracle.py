@@ -37,6 +37,7 @@ class OraclePoint:
     rh_relax: float = MISSING
     coupling_index: int = -9999              # 1-based obs step (couplingIndexI)
     coupling_tsurf: float = MISSING
+    out_depth: float = MISSING               # per-point output depth (m)
 
 
 class Oracle:
@@ -81,10 +82,14 @@ class Oracle:
         for i in range(5, n + 1):
             tmp[i] = tmp[4] + (tmp[n + 1] - tmp[4]) / (z[n] - z[3]) * (z[i - 1] - z[3])
 
-        use_depth = s.tsurf_output_depth >= 0.0
+        # effective output depth: global setting wins, else per-point
+        # (InputOutput.f90:125-130; ex2 modelInput%depth)
+        eff_depth = (s.tsurf_output_depth if s.tsurf_output_depth >= 0.0
+                     else (pt.out_depth if pt.out_depth >= 0.0 else None))
+        self._eff_depth = eff_depth
         def tsurf_from_profile():
-            if use_depth:
-                return self._temp_at_depth(tmp, s.tsurf_output_depth)
+            if eff_depth is not None:
+                return self._temp_at_depth(tmp, eff_depth)
             return 0.5 * (tmp[1] + tmp[2])
 
         tsurf_ave = tsurf_from_profile()
@@ -372,8 +377,8 @@ class Oracle:
             hstor, hs[0], in_coupling, last_tsurf_obs)
 
         tmp = tmp_new
-        if self.s.tsurf_output_depth >= 0.0:
-            tsurf_ave = self._temp_at_depth(tmp, self.s.tsurf_output_depth)
+        if self._eff_depth is not None:
+            tsurf_ave = self._temp_at_depth(tmp, self._eff_depth)
         else:
             tsurf_ave = 0.5 * (tmp[1] + tmp[2])
 
@@ -644,8 +649,8 @@ class Oracle:
                     qleft = qavail - q2melt
                     tmp_new[1] = t4melt + qleft / hs1
                     tmp_new[2] = t4melt + 0.01
-                if self.s.tsurf_output_depth >= 0.0:
-                    tsurf_ave = self._temp_at_depth(tmp_new, self.s.tsurf_output_depth)
+                if self._eff_depth is not None:
+                    tsurf_ave = self._temp_at_depth(tmp_new, self._eff_depth)
                 else:
                     tsurf_ave = 0.5 * (tmp_new[1] + tmp_new[2])
                 break

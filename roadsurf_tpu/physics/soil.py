@@ -91,9 +91,22 @@ def temp_at_depth(tmp, idx: int, w: float):
     return tmp[..., idx] + w * (tmp[..., idx + 1] - tmp[..., idx])
 
 
-def surface_average(tmp, idx, w, use_depth: bool):
+def surface_average(tmp, idx, w, use_depth):
     """TsurfAve: depth-interpolated when an output depth is configured,
-    else (T1+T2)/2 (BalanceModel.f90:78-84)."""
-    if use_depth:
-        return temp_at_depth(tmp, idx, w)
-    return (tmp[..., 1] + tmp[..., 2]) / 2.0
+    else (T1+T2)/2 (BalanceModel.f90:78-84).
+
+    idx/w/use_depth may be python scalars (global static depth, compiled in)
+    or per-point arrays (ex2's per-point ``modelInput%depth``,
+    src/InputArrays.f90.inc:27); arrays trigger a per-point gather."""
+    plain = (tmp[..., 1] + tmp[..., 2]) / 2.0
+    if isinstance(use_depth, bool) and not use_depth:
+        return plain
+    if isinstance(idx, int):
+        val = temp_at_depth(tmp, idx, w)
+        return val if use_depth is True else jnp.where(use_depth, val, plain)
+    idx = jnp.asarray(idx)
+    ti = jnp.take_along_axis(tmp, idx[..., None], axis=-1)[..., 0]
+    jdx = jnp.minimum(idx + 1, tmp.shape[-1] - 1)   # w==0 at the last node
+    tj = jnp.take_along_axis(tmp, jdx[..., None], axis=-1)[..., 0]
+    val = ti + w * (tj - ti)
+    return jnp.where(use_depth, val, plain)

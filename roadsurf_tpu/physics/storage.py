@@ -268,7 +268,7 @@ def new_melt_freeze_heat(s: Storages, t4melt, dt, p: PhysicsParams):
 
 def melting_limiter(s: Storages, tmp_new, tsurf, q2melt, t4melt, hstor, hs1,
                     in_coupling, last_tsurf_obs, depth_idx, depth_w,
-                    use_depth: bool, can_change_temp: bool, p: PhysicsParams):
+                    use_depth, can_change_temp: bool, p: PhysicsParams):
     """The storage<->temperature energy limiter (melting,
     src/Storage.f90:319-402).
 

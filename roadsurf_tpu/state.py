@@ -53,6 +53,9 @@ class PointParams(NamedTuple):
     coupling_start: jnp.ndarray    #: 1-based window start step, int32
     coupling_end: jnp.ndarray      #: 1-based window end step (obs index), int32
     coupling_tsurf: jnp.ndarray    #: observed Tsurf for coupling / melting guard
+    out_depth: jnp.ndarray         #: per-point output depth m (ex2
+                                   #: modelInput%%depth); -9999.9 = use
+                                   #: (T1+T2)/2 unless a global depth is set
 
 
 def default_point_params(nposts: int, lat=60.2, lon=24.9,
@@ -65,6 +68,7 @@ def default_point_params(nposts: int, lat=60.2, lon=24.9,
         init_len=i(init_len),
         tair_relax=f(MISSING), vz_relax=f(MISSING), rh_relax=f(MISSING),
         coupling_start=i(-99), coupling_end=i(-99), coupling_tsurf=f(MISSING),
+        out_depth=f(MISSING),
     )
 
 

@@ -71,8 +71,14 @@ class StepConfig(NamedTuple):
 
 
 def step(state: State, f: StepForcing, coupling_tsurf, cfg: StepConfig,
-         grid_dyc, grid_cond_dz, grid_wcont, p: PhysicsParams) -> State:
-    """Advance one timestep.  grid_* are the static [L] layer arrays."""
+         grid_dyc, grid_cond_dz, grid_wcont, p: PhysicsParams,
+         depth=None) -> State:
+    """Advance one timestep.  grid_* are the static [L] layer arrays.
+
+    ``depth``: optional per-point (idx, w, use) arrays overriding the static
+    StepConfig output-depth (ex2's per-point modelInput%%depth)."""
+    didx, dw, duse = depth if depth is not None else (
+        cfg.depth_idx, cfg.depth_w, cfg.use_depth)
     # --- failure containment (CheckValues; Simulation.f90:58) -----------
     # The reference has no early exit inside the loop body: the step that
     # FAILS CheckValues still runs and writes output; only subsequent steps
@@ -89,9 +95,7 @@ def step(state: State, f: StepForcing, coupling_tsurf, cfg: StepConfig,
     t2 = jnp.where(force_obs, f.tsurf_obs, tmp[..., 2])
     tmp = tmp.at[..., 1].set(t1).at[..., 2].set(t2)
     tsurf_ave = jnp.where(
-        force_obs,
-        surface_average(tmp, cfg.depth_idx, cfg.depth_w, cfg.use_depth),
-        state.tsurf_ave)
+        force_obs, surface_average(tmp, didx, dw, duse), state.tsurf_ave)
 
     # --- PrecipitationToStorage (Storage.f90:9-29) ----------------------
     wat = state.wat + f.rain
@@ -109,12 +113,10 @@ def step(state: State, f: StepForcing, coupling_tsurf, cfg: StepConfig,
     tmp_new, _, q2melt = storage.melting_limiter(
         storages, soil.tmp_new, tsurf_ave, state.q2melt, state.t4melt,
         soil.hstor, soil.hs1, f.in_coupling, coupling_tsurf,
-        cfg.depth_idx, cfg.depth_w, cfg.use_depth,
-        cfg.melting_can_change_temperature, p)
+        didx, dw, duse, cfg.melting_can_change_temperature, p)
 
     # commit + output temperature (BalanceModel.f90:75-84)
-    tsurf_after = surface_average(tmp_new, cfg.depth_idx, cfg.depth_w,
-                                  cfg.use_depth)
+    tsurf_after = surface_average(tmp_new, didx, dw, duse)
 
     # --- WearFactors + RoadCond + CalcAlbedo (Simulation.f90:159-171) ---
     storages, very_cold, q2melt, t4melt = storage.road_cond(

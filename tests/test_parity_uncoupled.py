@@ -77,3 +77,49 @@ def test_parity_with_skyview():
 def test_parity_long_cold():
     # longer horizon, colder regime: night frost + persistent snow
     run_both("cold_snow", sim_len=1441, seed=5)
+
+
+def test_parity_per_point_depth():
+    """Per-point output depth (ex2's modelInput%depth) vs oracle."""
+    sim_len, npoints = 481, 4
+    settings = ModelSettings(sim_len=sim_len, dt=30.0)
+    raw, cal = synthetic_raw(npoints, sim_len, seed=8)
+    pts = default_point_params(npoints)
+    depths = np.array([0.0, 0.05, -9999.9, 0.5])
+    pts = pts._replace(out_depth=depths)
+    from roadsurf_tpu.model import Model as _M
+    model = _M(settings)
+    _, out = model.run(raw, pts, cal)
+    jax_out = np.stack([np.asarray(getattr(out, k))
+                        for k in ("tsurf", "wat", "snow", "ice", "ice2",
+                                  "dep")], axis=-1)
+    oracle = Oracle(settings, PhysicsParams())
+    for pnt in range(npoints):
+        f = {k: np.array(getattr(raw, k)[pnt], np.float64)
+             for k in ("tair", "tdew", "vz", "rhz", "prec", "sw", "lw",
+                       "sw_dir", "lw_net", "tsurf_obs")}
+        f["prec_phase"] = np.array(raw.prec_phase[pnt])
+        ref = oracle.run(f, cal, OraclePoint(out_depth=float(depths[pnt])))
+        np.testing.assert_allclose(jax_out[:, pnt, :], ref, rtol=1e-9,
+                                   atol=1e-9, err_msg=f"point {pnt}")
+
+
+def test_parity_global_output_depth():
+    """Global tsurfOutputDepth setting vs oracle."""
+    sim_len, npoints = 361, 2
+    settings = ModelSettings(sim_len=sim_len, dt=30.0,
+                             tsurf_output_depth=0.03)
+    raw, cal = synthetic_raw(npoints, sim_len, seed=9)
+    pts = default_point_params(npoints)
+    from roadsurf_tpu.model import Model as _M
+    model = _M(settings)
+    _, out = model.run(raw, pts, cal)
+    oracle = Oracle(settings, PhysicsParams())
+    for pnt in range(npoints):
+        f = {k: np.array(getattr(raw, k)[pnt], np.float64)
+             for k in ("tair", "tdew", "vz", "rhz", "prec", "sw", "lw",
+                       "sw_dir", "lw_net", "tsurf_obs")}
+        f["prec_phase"] = np.array(raw.prec_phase[pnt])
+        ref = oracle.run(f, cal, OraclePoint())
+        np.testing.assert_allclose(np.asarray(out.tsurf)[:, pnt], ref[:, 0],
+                                   rtol=1e-9, atol=1e-9)
