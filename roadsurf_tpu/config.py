@@ -89,6 +89,14 @@ class ModelSettings:
             "force_tsurf": bool(model.get("force_tsurf", 0)),
         }, ("use_coupling", "use_relaxation", "force_tsurf"))
         updates = {}
+        # maintenance/salt melt-control switches (the library's forced-melt
+        # API surface; src/RoadCondParameters.f90.inc:57-60)
+        for key, field in (("force_snow_melting", "force_snow_melting"),
+                           ("force_ice_melting", "force_ice_melting"),
+                           ("melting_can_change_temperature",
+                            "melting_can_change_temperature")):
+            if key in model:
+                updates[field] = bool(model[key])
         if "DTSecs" in model:
             updates["dt"] = float(model["DTSecs"])
         if "NLayers" in model:

@@ -123,3 +123,30 @@ def test_parity_global_output_depth():
         ref = oracle.run(f, cal, OraclePoint())
         np.testing.assert_allclose(np.asarray(out.tsurf)[:, pnt], ref[:, 0],
                                    rtol=1e-9, atol=1e-9)
+
+
+def test_parity_forced_melting():
+    """Salt-treatment forced melting switches (forceSnowMelting /
+    forceIceMelting; Storage.f90:145-147, :227-230) vs oracle."""
+    sim_len, npoints = 481, 4
+    settings = ModelSettings(sim_len=sim_len, dt=30.0,
+                             force_snow_melting=True, force_ice_melting=True)
+    raw, cal = synthetic_raw(npoints, sim_len, seed=17, scenario="cold_snow")
+    pts = default_point_params(npoints)
+    from roadsurf_tpu.model import Model as _M
+    model = _M(settings)
+    _, out = model.run(raw, pts, cal)
+    # with forced melting no snow/ice can persist
+    assert np.asarray(out.snow)[-1].max() == 0.0
+    assert np.asarray(out.ice)[-1].max() == 0.0
+    oracle = Oracle(settings, PhysicsParams())
+    for pnt in range(2):
+        f = {k: np.array(getattr(raw, k)[pnt], np.float64)
+             for k in ("tair", "tdew", "vz", "rhz", "prec", "sw", "lw",
+                       "sw_dir", "lw_net", "tsurf_obs")}
+        f["prec_phase"] = np.array(raw.prec_phase[pnt])
+        ref = oracle.run(f, cal, OraclePoint())
+        got = np.stack([np.asarray(getattr(out, k))[:, pnt]
+                        for k in ("tsurf", "wat", "snow", "ice", "ice2",
+                                  "dep")], axis=-1)
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-9)
