@@ -45,6 +45,38 @@ def write_forecast_json(path: str, point_ids, lats, lons, sim_epochs,
         json.dump(doc, f, indent=1)
 
 
+def write_forecast_json_extended(path: str, point_ids, lats, lons,
+                                 sim_epochs, fields: dict, tair, tdew,
+                                 output_stride: int = 1):
+    """example2's extended parameter set (QueryDataTools.cpp:125-153): tsurf,
+    tair, tdew, dew-point deficit (tsurf - tdew), snow, water, ice, deposit,
+    ice2 -- as JSON (the querydata binary container is FMI-internal; the
+    field set is what matters for parity)."""
+    sl = slice(None, None, output_stride)
+    times = format_times(np.asarray(sim_epochs)[sl])
+    r5 = lambda arr, i: [round(float(v), 5) for v in np.asarray(arr)[sl, i]]
+    doc = []
+    for i, pid in enumerate(point_ids):
+        tsurf = np.asarray(fields["tsurf"])[sl, i]
+        td = np.asarray(tdew)[sl, i]
+        doc.append({
+            "statId": int(pid), "lat": float(lats[i]), "lon": float(lons[i]),
+            "time": times,
+            "RoadTemperature": [round(float(v), 5) for v in tsurf],
+            "Temperature2m": r5(tair, i),
+            "DewPoint": r5(tdew, i),
+            "DewPointDeficit": [round(float(a - b), 5)
+                                for a, b in zip(tsurf, td)],
+            "Snow": r5(fields["snow"], i),
+            "Water": r5(fields["wat"], i),
+            "Ice": r5(fields["ice"], i),
+            "Deposit": r5(fields["dep"], i),
+            "Ice2": r5(fields["ice2"], i),
+        })
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
+
+
 def save_checkpoint(path: str, state, point_ids, sim_epoch_end: int):
     """Binary prognostic-state checkpoint (the reference has none -- it
     reconstructs from obs+climatology each cycle; SURVEY.md section 5).  The

@@ -65,6 +65,22 @@ def failure_summary(failed, lats=None, lons=None, limit: int = 10,
     return n
 
 
+def detect_nan_points(state):
+    """NaN-poisoning detection (SURVEY.md section 5: per-point validity mask +
+    NaN detection replaces the reference's sanitizer builds): returns an
+    updated state with NaN/Inf-carrying points marked failed, plus the mask.
+
+    The physics cannot produce NaN from valid inputs (all guards are selects),
+    so a NaN means corrupted input or hardware fault -- contained per point,
+    like every other failure."""
+    import jax.numpy as jnp
+    bad = ~jnp.isfinite(state.tmp).all(axis=-1)
+    for name in ("tsurf_ave", "wat", "snow", "ice", "ice2", "dep",
+                 "q2melt", "blcond", "albedo"):
+        bad = bad | ~jnp.isfinite(getattr(state, name))
+    return state._replace(failed=state.failed | bad), bad
+
+
 @contextlib.contextmanager
 def profile_trace(log_dir: Optional[str]):
     """JAX profiler trace capture (view with TensorBoard / xprof)."""
