@@ -27,7 +27,9 @@ def _valid(name, arr):
 
 def interpolate_series(raw_times: np.ndarray, sim_times: np.ndarray,
                        values: dict, int_names=("prec_phase",)) -> dict:
-    """values: {name: [R] float}; returns {name: [S] float} on the sim grid."""
+    """values: {name: [..., R] float}; returns {name: [..., S] float} on the
+    sim grid.  Leading axes (e.g. a points axis) are broadcast -- all rows
+    share the same raw time axis."""
     raw_times = np.asarray(raw_times, np.int64)
     sim_times = np.asarray(sim_times, np.int64)
     R = raw_times.shape[0]
@@ -46,23 +48,24 @@ def interpolate_series(raw_times: np.ndarray, sim_times: np.ndarray,
     denom = (np.take(raw_times, i1) - np.take(raw_times, i0)).astype(np.float64)
     denom = np.where(denom == 0, 1.0, denom)
     w = (sim_times - np.take(raw_times, i0)).astype(np.float64) / denom
+    iex = np.clip(idx, 0, R - 1)
 
     for name, arr in values.items():
         arr = np.asarray(arr, np.float64)
-        res = np.full(S, MISSING)
+        res = np.full(arr.shape[:-1] + (S,), MISSING)
         if name in int_names:
             # nearest-next (JsonSource.cpp:171-172); exact match copies
-            nxt = np.take(arr, i1)
+            nxt = arr[..., i1]
             ok = in_range & _valid(name, nxt)
             res = np.where(ok & ~exact_ok, nxt, res)
-            ex = np.take(arr, np.clip(idx, 0, R - 1))
+            ex = arr[..., iex]
             res = np.where(exact_ok & _valid(name, ex), ex, res)
         else:
-            v0 = np.take(arr, i0)
-            v1 = np.take(arr, i1)
+            v0 = arr[..., i0]
+            v1 = arr[..., i1]
             ok = in_range & _valid(name, v0) & _valid(name, v1)
             res = np.where(ok & ~exact_ok, v0 + w * (v1 - v0), res)
-            ex = np.take(arr, np.clip(idx, 0, R - 1))
+            ex = arr[..., iex]
             res = np.where(exact_ok & _valid(name, ex), ex, res)
         out[name] = res
     return out

@@ -33,18 +33,39 @@ def haversine_km(lat1, lon1, lat2, lon2):
     return 2.0 * EARTH_R_KM * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
 
 
-def parse_points(config: dict):
-    """Returns (mode, lats [P], lons [P]) from the config 'points' section;
-    mode 'stations' yields empty arrays (points come from the sources)."""
+class PointSet:
+    """Resolved simulation point set; grid mode keeps the grid descriptor
+    (axes + keep mask) so outputs can be written back onto the grid."""
+
+    def __init__(self, mode, lats, lons, grid_lats=None, grid_lons=None,
+                 keep=None):
+        self.mode = mode
+        self.lats = lats
+        self.lons = lons
+        self.grid_lats = grid_lats     # [ny] | None
+        self.grid_lons = grid_lons     # [nx] | None
+        self.keep = keep               # [ny, nx] bool | None
+
+
+def parse_points_full(config: dict) -> PointSet:
+    """Resolve the config 'points' section (example2 PointMode dispatch,
+    examples/example2/src/PointMode.cpp:3-25); mode 'stations' yields empty
+    arrays (points come from the sources).
+
+    Grid masks (roadrunner.cpp:241-268): ``{"path": grid.txt, "include"}`` is
+    an ASCII character mask; ``{"path": grid.npz, "enable": formula}`` is an
+    expression mask over the file's static fields (read_querydata_mask,
+    roadrunner.cpp:272-323)."""
     sec = config.get("points")
     if not sec:
-        return "stations", np.array([]), np.array([])
+        return PointSet("stations", np.array([]), np.array([]))
     if "latlon" in sec:                      # single coordinate
         lat, lon = sec["latlon"]
-        return "coordinate", np.array([lat]), np.array([lon])
+        return PointSet("coordinate", np.array([float(lat)]),
+                        np.array([float(lon)]))
     if "coordinates" in sec:
         arr = np.asarray(sec["coordinates"], np.float64)
-        return "coordinates", arr[:, 0], arr[:, 1]
+        return PointSet("coordinates", arr[:, 0], arr[:, 1])
     if "grid" in sec:
         g = sec["grid"]
         lat1, lon1, lat2, lon2 = g["bbox"]
@@ -55,10 +76,23 @@ def parse_points(config: dict):
         keep = np.ones(glat.shape, bool)
         mask_cfg = sec.get("mask") or g.get("mask")
         if mask_cfg:
-            keep = read_ascii_mask(mask_cfg["path"], ny, nx,
-                                   mask_cfg.get("include", "1"))
-        return "grid", glat[keep].ravel(), glon[keep].ravel()
+            if "enable" in mask_cfg:
+                from .masks import expression_mask
+                keep = expression_mask(
+                    mask_cfg["enable"], mask_cfg["path"],
+                    glat.ravel(), glon.ravel()).reshape(ny, nx)
+            else:
+                keep = read_ascii_mask(mask_cfg["path"], ny, nx,
+                                       mask_cfg.get("include", "1"))
+        return PointSet("grid", glat[keep].ravel(), glon[keep].ravel(),
+                        grid_lats=lats, grid_lons=lons, keep=keep)
     raise ValueError("Unrecognized 'points' section")
+
+
+def parse_points(config: dict):
+    """Returns (mode, lats [P], lons [P]); see parse_points_full."""
+    ps = parse_points_full(config)
+    return ps.mode, ps.lats, ps.lons
 
 
 def read_ascii_mask(path: str, ny: int, nx: int, include: str) -> np.ndarray:

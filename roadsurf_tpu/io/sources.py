@@ -228,6 +228,11 @@ def create_source(cfg: dict, sim_times: np.ndarray) -> Source:
                               is_observation=cfg.get("source",
                                                      "observations")
                               == "observations")
+    if typ in ("grid", "file", "directory"):
+        # example2 querydata types 'file'/'directory'
+        # (DataSourceFactory.cpp:39-44) -> the gridded npz source
+        from .gridsource import GridSource
+        return GridSource(cfg, sim_times, is_observation=is_obs)
     raise ValueError(f"Unknown input type: '{typ}'")
 
 
@@ -275,6 +280,62 @@ class DataHandler:
                     data[name][row] = np.where(valid, v, data[name][row])
                     if name == "tair" and src.is_observation:
                         obs_tair[row] = np.where(valid, v, obs_tair[row])
+        phase = np.where(data["prec_phase"] > -100,
+                         data["prec_phase"], -9999).astype(np.int64)
+        raw = RawForcing(
+            tair=data["tair"], tdew=data["tdew"], vz=data["vz"],
+            rhz=data["rhz"], prec=data["prec"], sw=data["sw"], lw=data["lw"],
+            sw_dir=data["sw_dir"], lw_net=data["lw_net"],
+            tsurf_obs=data["tsurf_obs"], prec_phase=phase)
+        return raw, obs_tair
+
+    def has_grid_source(self) -> bool:
+        return any(hasattr(s, "at_points") for s in self.sources)
+
+    def merged_at_points(self, plat, plon, sim_len: int,
+                         max_radius_km: float = 50.0):
+        """Latlon-keyed overlay merge -- example2's DataManager::GetWeather
+        semantics (examples/example2/src/DataManager.cpp:67-77): each source
+        is queried at the simulation points and later sources overwrite
+        earlier values where valid.  Grid sources interpolate bilinearly;
+        station sources contribute via their nearest station within
+        ``max_radius_km`` (the RoadSurfSource NearTree radius pattern,
+        RoadSurfSource.cpp:516-616).
+
+        Returns (RawForcing [P, T], obs_tair [P, T])."""
+        plat = np.asarray(plat, np.float64)
+        plon = np.asarray(plon, np.float64)
+        P = len(plat)
+        data = {k: np.full((P, sim_len), MISSING) for k in VAR_NAMES}
+        obs_tair = np.full((P, sim_len), MISSING)
+        for src in self.sources:
+            if hasattr(src, "at_points"):
+                vals = src.at_points(plat, plon)
+                for name, v in vals.items():
+                    valid = v > (-1000.0 if name == "lw_net" else -100.0)
+                    data[name] = np.where(valid, v, data[name])
+                    if name == "tair" and src.is_observation:
+                        obs_tair = np.where(valid, v, obs_tair)
+                continue
+            sts = src.stations()
+            if not sts:
+                continue
+            from .points import haversine_km
+            st_lats = np.array([s.lat for s in sts])
+            st_lons = np.array([s.lon for s in sts])
+            d = haversine_km(plat[:, None], plon[:, None],
+                             st_lats[None, :], st_lons[None, :])
+            idx = np.argmin(d, axis=1)
+            ok = d[np.arange(P), idx] <= max_radius_km
+            for name in VAR_NAMES:
+                sv = np.stack([np.asarray(s.values.get(
+                    name, np.full(sim_len, MISSING))) for s in sts])
+                v = sv[idx]
+                valid = ((v > (-1000.0 if name == "lw_net" else -100.0))
+                         & ok[:, None])
+                data[name] = np.where(valid, v, data[name])
+                if name == "tair" and src.is_observation:
+                    obs_tair = np.where(valid, v, obs_tair)
         phase = np.where(data["prec_phase"] > -100,
                          data["prec_phase"], -9999).astype(np.int64)
         raw = RawForcing(

@@ -77,6 +77,49 @@ def write_forecast_json_extended(path: str, point_ids, lats, lons,
         json.dump(doc, f, indent=1)
 
 
+def write_forecast_grid(path: str, grid_lats, grid_lons, keep, sim_epochs,
+                        fields: dict, tair, tdew, output_stride: int = 1):
+    """Gridded output writer -- the querydata-writer equivalent
+    (examples/example2/src/QueryDataTools.cpp): the 9-parameter set
+    (create_param_descriptor :125-153 -- tsurf, tair, tdew, dew-point
+    deficit, snow, water, ice, deposit, ice2) scattered back onto the
+    simulation grid at the output stride (get_write_stride :270-283), masked
+    cells missing.  Container is npz (the querydata binary is FMI-internal):
+    ``times`` [T_out], ``lats`` [ny], ``lons`` [nx], ``mask`` [ny, nx], and
+    one [T_out, ny, nx] float32 array per parameter.
+
+    fields: {tsurf, wat, snow, ice, ice2, dep} as [T, P] over kept points in
+    row-major grid order (the parse_points_full flattening).
+    """
+    keep = np.asarray(keep, bool)
+    ny, nx = keep.shape
+    sl = slice(None, None, output_stride)
+    epochs = np.asarray(sim_epochs)[sl]
+    tsurf = np.asarray(fields["tsurf"])[sl]
+    tair = np.asarray(tair)[sl]
+    tdew = np.asarray(tdew)[sl]
+    params = {
+        "tsurf": tsurf, "tair": tair, "tdew": tdew,
+        "tdew_deficit": tsurf - tdew,
+        "snow": np.asarray(fields["snow"])[sl],
+        "water": np.asarray(fields["wat"])[sl],
+        "ice": np.asarray(fields["ice"])[sl],
+        "deposit": np.asarray(fields["dep"])[sl],
+        "ice2": np.asarray(fields["ice2"])[sl],
+    }
+    T_out = len(epochs)
+    grids = {}
+    for name, v in params.items():
+        g = np.full((T_out, ny * nx), -9999.9, np.float32)
+        g[:, keep.ravel()] = v.astype(np.float32)
+        grids[name] = g.reshape(T_out, ny, nx)
+    np.savez_compressed(
+        path, times=epochs.astype(np.int64),
+        lats=np.asarray(grid_lats, np.float64),
+        lons=np.asarray(grid_lons, np.float64),
+        mask=keep, **grids)
+
+
 def save_checkpoint(path: str, state, point_ids, sim_epoch_end: int):
     """Binary prognostic-state checkpoint (the reference has none -- it
     reconstructs from obs+climatology each cycle; SURVEY.md section 5).  The

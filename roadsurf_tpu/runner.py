@@ -77,25 +77,41 @@ def run(config_path: str, forecast_time_s: Optional[str] = None,
 
     # ---- data plane ----------------------------------------------------
     handler = DataHandler.from_config(config, sim_epochs)
-    raw, obs_tair = handler.merged(sim_len)
-    point_ids = handler.point_ids()
-    locs = handler.locations()
-    if not point_ids:
-        raise SystemExit("No points found in input sources")
-    lats = np.array([l[0] for l in locs])
-    lons = np.array([l[1] for l in locs])
 
     # point modes (example2 Coordinate/Coordinates/Grid; io/points.py)
-    from .io.points import nearest_station_forcing, parse_points
-    mode, plats, plons = parse_points(config)
-    if mode != "stations":
+    from .io.points import nearest_station_forcing, parse_points_full
+    pset = parse_points_full(config)
+    mode, plats, plons = pset.mode, pset.lats, pset.lons
+    if mode == "stations":
+        if handler.has_grid_source() and not handler.point_ids():
+            raise SystemExit(
+                "Grid sources have no stations; a 'points' section "
+                "(coordinate/coordinates/grid) is required")
+        raw, obs_tair = handler.merged(sim_len)
+        point_ids = handler.point_ids()
+        locs = handler.locations()
+        if not point_ids:
+            raise SystemExit("No points found in input sources")
+        lats = np.array([l[0] for l in locs])
+        lons = np.array([l[1] for l in locs])
+    else:
         radius = float((config.get("points") or {}).get(
             "max_radius_km", 50.0))
-        raw, st_idx = nearest_station_forcing(raw, lats, lons, plats, plons,
-                                              max_radius_km=radius)
-        obs_tair = np.where(
-            (st_idx >= 0)[:, None],
-            np.asarray(obs_tair)[np.clip(st_idx, 0, None)], -9999.9)
+        if handler.has_grid_source():
+            # example2 DataManager: every source queried per latlon
+            raw, obs_tair = handler.merged_at_points(
+                plats, plons, sim_len, max_radius_km=radius)
+            st_idx = np.zeros(len(plats), np.int64)
+        else:
+            raw0, obs_tair0 = handler.merged(sim_len)
+            locs = handler.locations()
+            lats0 = np.array([l[0] for l in locs])
+            lons0 = np.array([l[1] for l in locs])
+            raw, st_idx = nearest_station_forcing(
+                raw0, lats0, lons0, plats, plons, max_radius_km=radius)
+            obs_tair = np.where(
+                (st_idx >= 0)[:, None],
+                np.asarray(obs_tair0)[np.clip(st_idx, 0, None)], -9999.9)
         lats, lons = plats, plons
         point_ids = list(range(1, len(plats) + 1))
         if verbose:
@@ -196,7 +212,22 @@ def run(config_path: str, forecast_time_s: Optional[str] = None,
     # ---- output ---------------------------------------------------------
     out_cfg = config.get("output", {}) or {}
     out_path = output_path or out_cfg.get("filename")
-    if out_path:
+    if out_path and out_path.endswith(".npz") and mode == "grid":
+        # gridded output (the querydata writer path; QueryDataTools.cpp)
+        from .io.writer import write_forecast_grid
+        from .physics.moisture import tdew_from_rh
+        tair_g = np.asarray(raw.tair).T
+        td = np.asarray(raw.tdew).T
+        need = (td < -100.0) & (tair_g > -100.0)
+        rh_g = np.asarray(raw.rhz).T
+        td = np.where(need & (rh_g > -100.0),
+                      np.asarray(tdew_from_rh(tair_g, rh_g)), td)
+        write_forecast_grid(out_path, pset.grid_lats, pset.grid_lons,
+                            pset.keep, sim_epochs, out_fields, tair_g, td,
+                            output_stride=settings.output_stride)
+        if verbose:
+            print(f"Wrote {out_path}")
+    elif out_path:
         write_forecast_json(
             out_path, point_ids, lats, lons, sim_epochs,
             out_fields["tsurf"], out_fields["wat"], out_fields["snow"],
