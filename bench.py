@@ -102,7 +102,7 @@ def main():
         stride = t_chunk  # one output row per chunk (production cadence)
         pal = jax.jit(lambda t, s, f: ps.pallas_scan(
             t, s, f, model.cfg, model.params, model.grid,
-            out_stride=stride, chunk_t=min(64, t_chunk)))
+            out_stride=stride, chunk_t=min(8, t_chunk)))
         r = pal(tmp0, scal0, forc)
         jax.block_until_ready(r)
         t0 = time.perf_counter()

@@ -70,7 +70,7 @@ def main():
 
     pal = jax.jit(lambda t, s, f: ps.pallas_scan(
         t, s, f, model.cfg, model.params, model.grid,
-        out_stride=OUT_STRIDE, chunk_t=CHUNK))
+        out_stride=OUT_STRIDE, chunk_t=min(8, CHUNK)))
 
     import sys
     log = lambda m: (print(m, file=sys.stderr), sys.stderr.flush())

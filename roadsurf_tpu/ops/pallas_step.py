@@ -10,8 +10,9 @@ iteration).  This kernel instead runs the whole time loop on-chip:
    (zero HBM state traffic between steps);
  * forcing is streamed HBM->VMEM in double-buffered time chunks of
    CHUNK_T steps, overlapping DMA with compute;
- * outputs are accumulated in VMEM at the output stride and DMA'd back once
-   per chunk.
+ * each output event (every out_stride steps -- ~30-60 min cadence in
+   production) is DMA'd straight to HBM, so the output cadence is
+   independent of the forcing chunk size.
 
 Layouts are lane-major over points: per-point scalar state is row-packed into
 one [NROWS, TILE_P] array (rows indexed by the R_* constants); the
@@ -55,18 +56,26 @@ NCH = 16
 
 N_OUT_FIELDS = 8  # tsurf, wat, snow, ice, ice2, dep, (2 pad)
 
-# point-tile geometry: each kernel program owns SUBL*LANE = 1024 points laid
-# out as one full (8, 128) f32 vreg per scalar row -- full VPU utilization
-# (a flat [1024] row would occupy 8 vregs at 1/8 sublane usage).
-SUBL = 8
+# point-tile geometry: each kernel program owns SUBL*LANE points laid out as
+# SUBL/8 full (8, 128) f32 vregs per scalar row -- full VPU utilization (a
+# flat [1024] row would occupy 8 vregs at 1/8 sublane usage).  SUBL=64 gives
+# every vector op 8 independent vregs, hiding VPU op latency in the serial
+# boundary-layer dependency chain: measured on v5e, SUBL 8 -> 16 -> 32 -> 64
+# is 320 -> 525 -> 755 -> 856 M point-steps/s (bitwise-identical results);
+# 128 exceeds VMEM.  chunk_t shrinks with SUBL to keep the forcing
+# double-buffer within the ~16 MB VMEM budget.
+SUBL = 64
 LANE = 128
 TILE_P = SUBL * LANE
 
 
 def _esat(t):
-    e_ice = 0.61078 * jnp.exp(21.875 * t / (t + 265.5))
-    e_wat = 0.61078 * jnp.exp(17.269 * t / (t + 237.3))
-    return jnp.where(t < 0.0, e_ice, e_wat)
+    # Magnus over ice/water -- coefficients selected per lane so only ONE
+    # transcendental is evaluated (vs exp-both-and-select); same value
+    # (BoundaryLayer.f90:156-170)
+    a = jnp.where(t < 0.0, 21.875, 17.269)
+    b = jnp.where(t < 0.0, 265.5, 237.3)
+    return 0.61078 * jnp.exp(a * t / (t + b))
 
 
 def _bl_fixed_point(blcond, tsurf, tair, vz, p: PhysicsParams, n_iter: int):
@@ -101,12 +110,35 @@ def _bl_fixed_point(blcond, tsurf, tair, vz, p: PhysicsParams, n_iter: int):
         return bl, psim, psih, jnp.maximum(done_f, newly.astype(jnp.float32))
 
     done0 = jnp.zeros_like(blcond)
-    carry = (blcond, jnp.zeros_like(blcond), jnp.zeros_like(blcond), done0)
-    # NOTE: a while_loop with an all-converged exit test was measured SLOWER
-    # than the fixed masked loop on v5e (the per-iteration min-reduction +
-    # scalar branch cost more than the skipped iterations); fori it is.
-    carry = jax.lax.fori_loop(0, n_iter, body, carry)
-    bl, psim, psih, _ = carry
+    carry0 = (blcond, jnp.zeros_like(blcond), jnp.zeros_like(blcond), done0)
+    # Blocked early exit: run BLOCK masked iterations at a time, stop when
+    # every lane has converged.  Checking every iteration was measured SLOWER
+    # on v5e (per-iteration min-reduction + scalar branch outweighed the
+    # skipped work); amortizing the check over a block wins because typical
+    # convergence is ~5-15 of the 40 budgeted iterations
+    # (BoundaryLayer.f90:92-96).  Frozen lanes stop changing, so the result
+    # is identical to the fixed n_iter loop.
+    block = 5
+    nblocks = n_iter // block
+    assert nblocks * block == n_iter
+
+    def w_cond(c):
+        blk = c[0]
+        done_f = c[4]
+        return (blk < nblocks) & (jnp.min(done_f) < 0.5)
+
+    def w_body(c):
+        blk = c[0]
+
+        def inner(jl, cc):
+            return body(blk * block + jl, cc)
+
+        bl, psim, psih, done_f = jax.lax.fori_loop(
+            0, block, inner, c[1:], unroll=True)
+        return (blk + 1, bl, psim, psih, done_f)
+
+    carry = jax.lax.while_loop(w_cond, w_body, (0,) + carry0)
+    bl, psim, psih = carry[1], carry[2], carry[3]
     return bl, psim, psih, air_dens, air_hcap
 
 
@@ -290,16 +322,15 @@ def _road_cond(wat, snow, ice, ice2, dep, tsurf, evap, q2, t4, vcold,
 
 def _make_kernel(nsteps, chunk_t, out_stride, cfg, p, dyc, cond_dz, wcont,
                  bl_iters, tile_p, lpad):
-    assert tile_p == SUBL * LANE
+    subl = tile_p // LANE
     nlayers = len(dyc)
-    obuf_t = chunk_t // out_stride
     nchunks = -(-nsteps // chunk_t)
     dt = cfg.dt
 
     def kernel(forc_hbm, tmp_init, scal_init, out_hbm, tmp_out, scal_out,
                fbuf, obuf, in_sems, out_sem):
         tile = pl.program_id(0)
-        p0 = tile * SUBL
+        p0 = tile * subl
 
         tmp_out[...] = tmp_init[...]
         scal_out[...] = scal_init[...]
@@ -307,7 +338,7 @@ def _make_kernel(nsteps, chunk_t, out_stride, cfg, p, dyc, cond_dz, wcont,
         def in_dma(slot, chunk):
             return pltpu.make_async_copy(
                 forc_hbm.at[pl.ds(chunk * chunk_t, chunk_t), :,
-                            pl.ds(p0, SUBL), :],
+                            pl.ds(p0, subl), :],
                 fbuf.at[slot], in_sems.at[slot])
 
         in_dma(0, 0).start()
@@ -421,10 +452,12 @@ def _make_kernel(nsteps, chunk_t, out_stride, cfg, p, dyc, cond_dz, wcont,
                 scal_out[...] = sc_new
 
                 # output at stride (the step failing CheckValues still
-                # emits; later steps are poisoned -- step.py semantics)
+                # emits; later steps are poisoned -- step.py semantics).
+                # Output events are rare (out_stride is ~30-60 min in
+                # production) so each is its own small DMA -- this decouples
+                # out_stride from the forcing chunk size.
                 @pl.when(run & (jax.lax.rem(t, out_stride) == 0))
                 def _():
-                    oslot = jax.lax.div(tlocal, out_stride)
                     poison = failed_prev
                     def field(r):
                         return jnp.where(poison, -9999.0, sc_new[r])
@@ -433,27 +466,26 @@ def _make_kernel(nsteps, chunk_t, out_stride, cfg, p, dyc, cond_dz, wcont,
                                      field(R_ICE2), field(R_DEP),
                                      jnp.zeros_like(tsurf),
                                      jnp.zeros_like(tsurf)])
-                    obuf[oslot] = row
+                    obuf[0] = row
+                    out_dma = pltpu.make_async_copy(
+                        obuf,
+                        out_hbm.at[pl.ds(jax.lax.div(t, out_stride), 1), :,
+                                   pl.ds(p0, subl), :],
+                        out_sem)
+                    out_dma.start()
+                    out_dma.wait()
                 return ()
 
             jax.lax.fori_loop(0, chunk_t, step_body, (), unroll=False)
-
-            out_dma = pltpu.make_async_copy(
-                obuf,
-                out_hbm.at[pl.ds(chunk * obuf_t, obuf_t), :,
-                           pl.ds(p0, SUBL), :],
-                out_sem)
-            out_dma.start()
-            out_dma.wait()
             return ()
 
         jax.lax.fori_loop(0, nchunks, chunk_body, (), unroll=False)
 
-    return kernel, obuf_t, nchunks
+    return kernel, nchunks
 
 
 def pallas_scan(tmp0, scal0, forcing, cfg: StepConfig, p: PhysicsParams,
-                grid: LayerGrid, out_stride: int = 1, chunk_t: int = 128,
+                grid: LayerGrid, out_stride: int = 1, chunk_t: int = 8,
                 tile_p: int = None, bl_iters: int = 40,
                 interpret: bool = False):
     """Run the fused forecast scan.
@@ -468,18 +500,19 @@ def pallas_scan(tmp0, scal0, forcing, cfg: StepConfig, p: PhysicsParams,
     """
     lpad, P = tmp0.shape
     T = forcing.shape[0]
-    tile_p = TILE_P
+    tile_p = tile_p or min(TILE_P, P)
+    assert tile_p % LANE == 0, tile_p
     assert P % tile_p == 0, (P, tile_p)
-    assert chunk_t % out_stride == 0
+    subl = tile_p // LANE
     assert T % chunk_t == 0, (T, chunk_t)
     nsteps = T
-    n_out_total = T // out_stride
+    n_out_total = -(-T // out_stride)
     rows = P // LANE                      # trailing (rows, LANE) point layout
     tmp0 = tmp0.reshape(lpad, rows, LANE)
     scal0 = scal0.reshape(NROWS, rows, LANE)
     forcing = forcing.reshape(T, NCH, rows, LANE)
 
-    kernel, obuf_t, nchunks = _make_kernel(
+    kernel, nchunks = _make_kernel(
         nsteps, chunk_t, out_stride, cfg, p,
         tuple(np.asarray(grid.dyc, np.float32).tolist()),
         tuple(np.asarray(grid.cond_dz, np.float32).tolist()),
@@ -499,22 +532,22 @@ def pallas_scan(tmp0, scal0, forcing, cfg: StepConfig, p: PhysicsParams,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),          # forcing in HBM
-            pl.BlockSpec((lpad, SUBL, LANE), lambda i: (0, i, 0),
+            pl.BlockSpec((lpad, subl, LANE), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((NROWS, SUBL, LANE), lambda i: (0, i, 0),
+            pl.BlockSpec((NROWS, subl, LANE), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),          # outputs in HBM
-            pl.BlockSpec((lpad, SUBL, LANE), lambda i: (0, i, 0),
+            pl.BlockSpec((lpad, subl, LANE), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((NROWS, SUBL, LANE), lambda i: (0, i, 0),
+            pl.BlockSpec((NROWS, subl, LANE), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2, chunk_t, NCH, SUBL, LANE), jnp.float32),
-            pltpu.VMEM((obuf_t, N_OUT_FIELDS, SUBL, LANE), jnp.float32),
+            pltpu.VMEM((2, chunk_t, NCH, subl, LANE), jnp.float32),
+            pltpu.VMEM((1, N_OUT_FIELDS, subl, LANE), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
