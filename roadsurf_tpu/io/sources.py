@@ -52,11 +52,26 @@ def parse_time(s: str, fmt: str = "%Y-%m-%d %H:%M") -> int:
 
 def read_json_tolerant(path: str):
     """read_json with comment tolerance (examples/example1/src/JsonTools.cpp):
-    strips // line comments."""
+    strips // line comments (outside string literals)."""
     with open(path) as f:
         text = f.read()
-    text = re.sub(r"(?m)//(?![^\n]*[\"']).*$", "", text)
-    return jsonlib.loads(text)
+    out_lines = []
+    for line in text.splitlines():
+        in_str = False
+        i = 0
+        while i < len(line):
+            c = line[i]
+            if in_str and c == "\\":
+                i += 2          # skip the escaped character
+                continue
+            if c == '"':
+                in_str = not in_str
+            elif not in_str and line[i:i + 2] == "//":
+                line = line[:i]
+                break
+            i += 1
+        out_lines.append(line)
+    return jsonlib.loads("\n".join(out_lines))
 
 
 @dataclasses.dataclass
