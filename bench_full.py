@@ -99,17 +99,26 @@ def main():
 
     outs_host = []
     t0 = time.perf_counter()
-    prev_out = None
+    # Pipelined dispatch: the per-call round trip to the (remote) chip is
+    # comparable to the compute itself, so blocking every chunk serializes
+    # RTT + gen + kernel.  Keep two chunks in flight (bounded HBM: 2 forcing
+    # chunks x ~4 GB) and block on chunk k-2 while k dispatches.
+    inflight = []
     for k in range(nchunks):
         f = build_chunk(jnp.float32(k))
         tmp, scal, out = pal(tmp, scal, f)
-        # keep at most one forcing chunk in flight (HBM headroom)
-        out.block_until_ready()
-        del f
-        if k % 16 == 0:
-            outs_host.append(np.asarray(out[:1, 0, :4096]))  # sampled IO
-            log(f"chunk {k}/{nchunks} t={time.perf_counter()-t0:.1f}s")
-        prev_out = out
+        inflight.append((k, f, out))
+        if len(inflight) > 1:
+            k0, f0_, out0 = inflight.pop(0)
+            out0.block_until_ready()
+            del f0_
+            if k0 % 16 == 0:
+                outs_host.append(np.asarray(out0[:1, 0, :4096]))  # sampled IO
+                log(f"chunk {k0}/{nchunks} t={time.perf_counter()-t0:.1f}s")
+    for k0, f0_, out0 in inflight:
+        out0.block_until_ready()
+        if k0 % 16 == 0:
+            outs_host.append(np.asarray(out0[:1, 0, :4096]))
     jax.block_until_ready(scal)
     wall = time.perf_counter() - t0
 

@@ -49,9 +49,13 @@ R_VERYCOLD, R_FAILED = 11, 12          # 0.0 / 1.0 flags
 NROWS = 16
 
 # ---- forcing channel indices (axis 1 of [T, NCH, P]) ----------------------
-C_TAIR, C_VZ, C_RHZ, C_RAIN, C_SNOW, C_SW, C_LW = 0, 1, 2, 3, 4, 5, 6
+# C_EAIR and C_AIRVCAP are pure functions of the raw forcing (tair, rhz),
+# precomputed once in pack_forcing: this removes one exp (Magnus esat(tair))
+# and one divide (air density) from every timestep of the hot loop.
+C_TAIR, C_VZ, C_EAIR, C_RAIN, C_SNOW, C_SW, C_LW = 0, 1, 2, 3, 4, 5, 6
 C_TSURF_OBS, C_VALID, C_TRF, C_SWCOF, C_LWCOF, C_INCPL, C_CPLOBS = \
     7, 8, 9, 10, 11, 12, 13
+C_AIRVCAP = 14
 NCH = 16
 
 N_OUT_FIELDS = 8  # tsurf, wat, snow, ice, ice2, dep, (2 pad)
@@ -78,24 +82,31 @@ def _esat(t):
     return 0.61078 * jnp.exp(a * t / (t + b))
 
 
-def _bl_fixed_point(blcond, tsurf, tair, vz, p: PhysicsParams, n_iter: int):
+def _bl_fixed_point(blcond, tsurf, tair, vz, air_vcap, p: PhysicsParams,
+                    n_iter: int):
     """Masked-freeze boundary-layer iteration (BoundaryLayer.f90:60-101):
-    identical results to the early-exit loop (frozen lanes stop changing)."""
+    identical results to the early-exit loop (frozen lanes stop changing).
+
+    Division strength reduction: the loop body carries 1/ustar instead of
+    ustar (ustar_inv = (logUstar+PsiM)/(k*vz), with 1/(k*vz) hoisted out of
+    the loop), turning the reference's three per-iteration divides (ustar,
+    BLC, Stab) into one -- divides are multi-pass on the VPU and this chain
+    is the serial critical path of the whole kernel."""
     tak = tair + 273.15
-    air_dens = 100000.0 / (287.05 * tak)
-    air_hcap = 1005.0 + (tak - 250.0) ** 2 / 3364.0
-    air_vcap = air_hcap * air_dens
     dt_ts = tsurf - tair
+    inv_kvz = 1.0 / (p.vk_const * vz)            # hoisted (vz >= calm floor)
+    inv_avt = 1.0 / (air_vcap * tak)             # hoisted
+    stab_c = -p.vk_const * p.zref_t * p.grav
 
     # NOTE: the done-mask is carried as float32 (0/1) -- Mosaic cannot
     # legalize i1 vectors in scf.for carries.
     def body(j, carry):
         bl, psim, psih, done_f = carry
         done = done_f > 0.5
-        ustar = p.vk_const * vz / (p.log_ustar + psim)
-        bl_new = air_vcap * p.vk_const * ustar / (p.log_cond + psih)
-        stab = (-p.vk_const * p.zref_t * p.grav * bl_new * dt_ts
-                / (air_vcap * tak * ustar * ustar * ustar))
+        ustar_inv = (p.log_ustar + psim) * inv_kvz
+        bl_new = air_vcap * p.vk_const / ((p.log_cond + psih) * ustar_inv)
+        stab = (stab_c * bl_new * dt_ts * inv_avt
+                * ustar_inv * ustar_inv * ustar_inv)
         stab = jnp.minimum(stab, 1.0)
         psih_s = 4.7 * stab
         psih_u = -2.0 * jnp.log(
@@ -139,7 +150,7 @@ def _bl_fixed_point(blcond, tsurf, tair, vz, p: PhysicsParams, n_iter: int):
 
     carry = jax.lax.while_loop(w_cond, w_body, (0,) + carry0)
     bl, psim, psih = carry[1], carry[2], carry[3]
-    return bl, psim, psih, air_dens, air_hcap
+    return bl, psim, psih, inv_kvz
 
 
 def _stencil(tmp, bl, rnet, le, trf, dt, p, dyc, cond_dz, wcont, nlayers):
@@ -382,19 +393,20 @@ def _make_kernel(nsteps, chunk_t, out_stride, cfg, p, dyc, cond_dz, wcont,
                 ice, ice2, dep = sc[R_ICE], sc[R_ICE2], sc[R_DEP]
 
                 # boundary layer + latent heat
-                vz, rhz = f[C_VZ], f[C_RHZ]
-                bl, psim, psih, air_dens, air_hcap = _bl_fixed_point(
-                    sc[R_BLCOND], tsurf, tair, vz, p, bl_iters)
+                vz = f[C_VZ]
+                air_vcap = f[C_AIRVCAP]
+                bl, psim, psih, inv_kvz = _bl_fixed_point(
+                    sc[R_BLCOND], tsurf, tair, vz, air_vcap, p, bl_iters)
                 raero = jnp.minimum(
                     (p.log_mom + psim) * (p.log_heat + psih)
-                    / (p.vk_const * p.vk_const * vz), 30.0)
+                    * (inv_kvz / p.vk_const), 30.0)
                 tak = tair + 273.15
                 psych_c = 0.1 * (0.00063 * tak + 0.47496)
                 wat_den = (-0.0050 * tsurf * tsurf + 0.0079 * tsurf
                            + 1000.0028)
                 esurf = _esat(tsurf)
-                eair = jnp.minimum(0.01 * rhz, 1.0) * _esat(tair)
-                le = air_dens * air_hcap * (esurf - eair) / (psych_c * raero)
+                eair = f[C_EAIR]
+                le = air_vcap * (esurf - eair) / (psych_c * raero)
                 lheat = jnp.where(tsurf >= 0.0, p.lvap, p.lfus)
                 evap = le / (lheat * wat_den) * 1000.0 * dt
                 dry = (le > 0.0) & (wat <= 0.0)
@@ -618,13 +630,26 @@ def unpack_state(tmp_f, scal_f, nlayers: int, state_template):
 
 
 def pack_forcing(prep, sw_cof, lw_cof, coupling_tsurf):
-    """Prepared ([T, P] channels) -> [T, NCH, P] float32."""
+    """Prepared ([T, P] channels) -> [T, NCH, P] float32.
+
+    Pure-forcing thermodynamics are precomputed here instead of inside the
+    per-step kernel: eair (Magnus vapour pressure at the air temperature,
+    BoundaryLayer.f90:156-170) and the air volumetric heat capacity
+    rho_air*cp_air (BoundaryLayer.f90:33-36)."""
     T, P = prep.tair.shape
     f32 = lambda x: jnp.asarray(x, jnp.float32)
+    tair = f32(prep.tair)
+    rhz = f32(prep.rhz)
+    tak = tair + jnp.float32(273.15)
+    air_dens = jnp.float32(100000.0) / (jnp.float32(287.05) * tak)
+    air_hcap = (jnp.float32(1005.0)
+                + (tak - jnp.float32(250.0)) ** 2 / jnp.float32(3364.0))
     ch = [None] * NCH
-    ch[C_TAIR] = f32(prep.tair)
+    ch[C_TAIR] = tair
     ch[C_VZ] = f32(prep.vz)
-    ch[C_RHZ] = f32(prep.rhz)
+    ch[C_EAIR] = jnp.minimum(jnp.float32(0.01) * rhz, jnp.float32(1.0)) \
+        * _esat(tair)
+    ch[C_AIRVCAP] = air_hcap * air_dens
     ch[C_RAIN] = f32(prep.rain)
     ch[C_SNOW] = f32(prep.snow)
     ch[C_SW] = f32(prep.sw)
