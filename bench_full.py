@@ -72,6 +72,15 @@ def main():
         t, s, f, model.cfg, model.params, model.grid,
         out_stride=OUT_STRIDE, chunk_t=min(8, CHUNK)))
 
+    # One jit per chunk: forcing generation fuses with the kernel launch
+    # (XLA eliminates the intermediate tile/modulate/stack materializations
+    # and one dispatch round trip per chunk).
+    @jax.jit
+    def combo(t, s, k):
+        return ps.pallas_scan(
+            t, s, build_chunk.__wrapped__(k), model.cfg, model.params,
+            model.grid, out_stride=OUT_STRIDE, chunk_t=min(8, CHUNK))
+
     import sys
     log = lambda m: (print(m, file=sys.stderr), sys.stderr.flush())
     log("building state...")
@@ -96,6 +105,11 @@ def main():
     jax.block_until_ready(r)
     log(f"kernel compiled+warm {time.perf_counter()-t0:.1f}s")
     del r, f0
+    t0 = time.perf_counter()
+    r = combo(tmp, scal, jnp.float32(0.0))
+    jax.block_until_ready(r)
+    log(f"fused gen+kernel compiled+warm {time.perf_counter()-t0:.1f}s")
+    del r
 
     outs_host = []
     t0 = time.perf_counter()
@@ -105,13 +119,11 @@ def main():
     # chunks x ~4 GB) and block on chunk k-2 while k dispatches.
     inflight = []
     for k in range(nchunks):
-        f = build_chunk(jnp.float32(k))
-        tmp, scal, out = pal(tmp, scal, f)
-        inflight.append((k, f, out))
+        tmp, scal, out = combo(tmp, scal, jnp.float32(k))
+        inflight.append((k, None, out))
         if len(inflight) > 1:
             k0, f0_, out0 = inflight.pop(0)
             out0.block_until_ready()
-            del f0_
             if k0 % 16 == 0:
                 outs_host.append(np.asarray(out0[:1, 0, :4096]))  # sampled IO
                 log(f"chunk {k0}/{nchunks} t={time.perf_counter()-t0:.1f}s")
