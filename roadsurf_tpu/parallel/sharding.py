@@ -70,6 +70,46 @@ def pad_points(tree, multiple: int, axis: int = 0):
     return jax.tree.map(pad, tree), np.asarray(first).shape[axis]
 
 
+def pallas_scan_sharded(tmp0, scal0, forcing, cfg, params, grid,
+                        mesh: Mesh, out_stride: int = 1, chunk_t: int = 8,
+                        tile_p: Optional[int] = None, bl_iters: int = 40,
+                        interpret: bool = False):
+    """The fused Pallas forecast kernel over a points-sharded device mesh.
+
+    This is the production multi-chip path: ``shard_map`` hands each device
+    its own contiguous block of road points and launches the whole-scan
+    kernel locally -- zero collectives in the hot loop (columns are
+    independent, the TPU re-design of the reference's per-point thread pool,
+    examples/example1/src/WorkQueue.h:15-131).  Layouts match
+    ops.pallas_step.pallas_scan: tmp0 [LPAD, P], scal0 [NROWS, P],
+    forcing [T, NCH, P]; the points axis of each is sharded over ``mesh``.
+
+    Returns (tmp_final [LPAD, P], scal_final [NROWS, P],
+    out [n_out, N_OUT_FIELDS, P]) with the same shardings.
+    """
+    from ..ops.pallas_step import pallas_scan
+
+    ndev = int(np.prod(mesh.devices.shape))
+    n_points = tmp0.shape[1]
+    if n_points % ndev:
+        raise ValueError(
+            f"points ({n_points}) must divide the mesh ({ndev} devices); "
+            "pad with pad_points() first")
+
+    def local(tmp, scal, forc):
+        return pallas_scan(tmp, scal, forc, cfg, params, grid,
+                           out_stride=out_stride, chunk_t=chunk_t,
+                           tile_p=tile_p, bl_iters=bl_iters,
+                           interpret=interpret)
+
+    shard = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, POINTS), P(None, POINTS), P(None, None, POINTS)),
+        out_specs=(P(None, POINTS), P(None, POINTS), P(None, None, POINTS)),
+        check_vma=False)  # pallas_call out_shapes carry no vma annotation
+    return shard(tmp0, scal0, forcing)
+
+
 def failure_stats(failed, mesh: Optional[Mesh] = None):
     """Global failed-point count + ratio via psum over the mesh -- the
     missing-data budget reduction (examples/example2/src/roadrunner.cpp:536-543).

@@ -62,6 +62,43 @@ def test_failure_stats_psum():
     assert check_missing_budget(failed, 0.50, mesh) is False
 
 
+def test_pallas_sharded_matches_single_device():
+    """The fused Pallas kernel under shard_map (interpret mode on the CPU
+    mesh) must produce bitwise-identical results to the unsharded kernel:
+    each device runs the identical per-point program on its own block."""
+    from roadsurf_tpu.ops import pallas_step as ps
+    from roadsurf_tpu.parallel.sharding import pallas_scan_sharded
+
+    npoints, sim_len = 1024, 32
+    settings = ModelSettings(sim_len=sim_len, dt=30.0)
+    model = Model(settings)
+    raw, cal = synthetic_raw(npoints, sim_len, seed=7, dtype=np.float32)
+    pts = default_point_params(npoints)
+    prep = model.prepare(raw, pts, cal)
+    prep = prep._replace(**{k: jnp.asarray(getattr(prep, k), jnp.float32)
+                            for k in ("tair", "vz", "rhz", "rain", "snow",
+                                      "sw", "lw", "tsurf_obs", "trf_fric")})
+    state = model.init(raw, cal, dtype=jnp.float32)
+    ones = jnp.ones(prep.tair.shape, jnp.float32)
+    obs = jnp.asarray(pts.coupling_tsurf, jnp.float32)
+
+    tmp0, scal0 = ps.pack_state(state)
+    forcing = ps.pack_forcing(prep, ones, ones, obs)
+
+    tmp_ref, scal_ref, out_ref = ps.pallas_scan(
+        tmp0, scal0, forcing, model.cfg, model.params, model.grid,
+        out_stride=4, chunk_t=16, interpret=True)
+
+    mesh = make_mesh()
+    tmp_s, scal_s, out_s = pallas_scan_sharded(
+        tmp0, scal0, forcing, model.cfg, model.params, model.grid, mesh,
+        out_stride=4, chunk_t=16, interpret=True)
+    assert not out_s.sharding.is_fully_replicated
+    np.testing.assert_array_equal(np.asarray(tmp_s), np.asarray(tmp_ref))
+    np.testing.assert_array_equal(np.asarray(scal_s), np.asarray(scal_ref))
+    np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out_ref))
+
+
 def test_pad_points():
     model, prep, state, pts = _setup(npoints=13, sim_len=61)
     padded, orig = pad_points(state, 8)
