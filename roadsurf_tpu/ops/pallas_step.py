@@ -66,8 +66,8 @@ N_OUT_FIELDS = 8  # tsurf, wat, snow, ice, ice2, dep, (2 pad)
 # every vector op 8 independent vregs, hiding VPU op latency in the serial
 # boundary-layer dependency chain: measured on v5e, SUBL 8 -> 16 -> 32 -> 64
 # is 320 -> 525 -> 755 -> 856 M point-steps/s (bitwise-identical results);
-# 128 exceeds VMEM.  chunk_t shrinks with SUBL to keep the forcing
-# double-buffer within the ~16 MB VMEM budget.
+# SUBL 96 exceeds VMEM even at chunk_t=4 and 128 at chunk_t=2
+# (tools/bench_tile.py sweep), so 64/8 is the feasible optimum.
 SUBL = 64
 LANE = 128
 TILE_P = SUBL * LANE
