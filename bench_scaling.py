@@ -24,13 +24,14 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
 
     from roadsurf_tpu.config import ModelSettings
     from roadsurf_tpu.io.synthetic import synthetic_raw
     from roadsurf_tpu.model import Model
     from roadsurf_tpu.ops import pallas_step as ps
-    from roadsurf_tpu.parallel.sharding import (make_mesh, pallas_scan_sharded,
-                                                shard_prepared)
+    from roadsurf_tpu.parallel.sharding import (POINTS, make_mesh,
+                                                pallas_scan_sharded)
     from roadsurf_tpu.state import default_point_params
 
     backend = jax.default_backend()
@@ -44,33 +45,40 @@ def main():
     settings = ModelSettings(sim_len=t_chunk, dt=30.0)
     model = Model(settings)
 
-    results = []
-    ndev = 1
-    while ndev <= len(devices):
-        npoints = per_device * ndev
-        small = min(npoints, 4096)
-        raw, cal = synthetic_raw(small, t_chunk, dt=30.0, seed=0,
-                                 dtype=np.float32)
-        pts = default_point_params(small)
-        prep_small = model.prepare(raw, pts, cal)
-        reps = -(-npoints // small)
+    # One small seed block, widened PER DEVICE under shard_map: each device
+    # tiles its own [.., per_device] shard from the replicated seed, so no
+    # global forcing tensor is ever materialized on one chip (at production
+    # sizes the unsharded [T, NCH, P_total] tensor would exceed single-chip
+    # HBM on any real slice).
+    small = min(per_device, 4096)
+    assert per_device % small == 0, (per_device, small)
+    raw, cal = synthetic_raw(small, t_chunk, dt=30.0, seed=0,
+                             dtype=np.float32)
+    pts = default_point_params(small)
+    prep_small = model.prepare(raw, pts, cal)
+    state_small = model.init(raw, cal, dtype=jnp.float32)
+    ones_small = jnp.ones((t_chunk, small), jnp.float32)
+    obs_small = jnp.full((small,), -9999.9, jnp.float32)
+    tmp_small, scal_small = ps.pack_state(state_small)
+    forc_small = ps.pack_forcing(prep_small, ones_small, ones_small,
+                                 obs_small)
+    reps = per_device // small
+
+    def measure(ndev):
         mesh = make_mesh(devices[:ndev])
+        npoints = per_device * ndev
 
-        def widen(x):
-            x = jnp.asarray(np.asarray(x), jnp.float32)
-            if x.ndim == 2:
-                return jnp.tile(x, (1, reps))[:, :npoints]
-            return x
+        def widen_local(t, s, f):
+            # runs once per device: tile the seed block to this shard only
+            return (jnp.tile(t, (1, reps)), jnp.tile(s, (1, reps)),
+                    jnp.tile(f, (1, 1, reps)))
 
-        prep = shard_prepared(jax.tree.map(widen, prep_small), mesh)
-        state = model.init(
-            jax.tree.map(lambda x: np.tile(np.asarray(x), (reps, 1))[:npoints]
-                         if np.ndim(x) == 2 else x, raw),
-            cal, dtype=jnp.float32)
-        ones = jnp.ones(prep.tair.shape, jnp.float32)
-        obs = jnp.full((npoints,), -9999.9, jnp.float32)
-        tmp0, scal0 = ps.pack_state(state)
-        forc = ps.pack_forcing(prep, ones, ones, obs)
+        build = jax.jit(jax.shard_map(
+            widen_local, mesh=mesh,
+            in_specs=(P(None, None), P(None, None), P(None, None, None)),
+            out_specs=(P(None, POINTS), P(None, POINTS),
+                       P(None, None, POINTS))))
+        tmp0, scal0, forc = build(tmp_small, scal_small, forc_small)
         jax.block_until_ready(forc)
 
         run = jax.jit(lambda t, s, f: pallas_scan_sharded(
@@ -84,11 +92,21 @@ def main():
             r = run(tmp0, scal0, forc)
         jax.block_until_ready(r)
         dt = time.perf_counter() - t0
-        rate = npoints * t_chunk * n_chunks / dt
+        return npoints, npoints * t_chunk * n_chunks / dt
+
+    results = []
+    ndev = 1
+    sizes = []
+    while ndev <= len(devices):
+        sizes.append(ndev)
+        ndev *= 2
+    if sizes[-1] != len(devices):
+        sizes.append(len(devices))     # always measure the full mesh
+    for ndev in sizes:
+        npoints, rate = measure(ndev)
         results.append((ndev, rate))
         print(json.dumps({"devices": ndev, "points": npoints,
                           "rate_Mpts": round(rate / 1e6, 1)}))
-        ndev *= 2
 
     r1 = results[0][1]
     nd, rn = results[-1]

@@ -139,6 +139,12 @@ def prepare(raw: RawForcing, pts: PointParams, cal: Calendar,
         lw = jnp.where(skyview_active[..., None], lw_m, lw)
 
     # --- relaxation (RelaxationOperations, src/Relaxation.f90:10-47) ----
+    # NOTE: the reference also recomputes atm%TDew from the relaxed Tair/Rhz
+    # (src/Relaxation.f90:46), but atm%TDew is a dead store -- nothing in the
+    # physics reads it (it is only ever assigned: InputOutput.f90:108,183,
+    # Relaxation.f90:46), and example2's writer outputs the INPUT tdew array
+    # (QueryDataTools.cpp:334-336).  So no Tdew recompute is needed here; the
+    # boundary layer consumes rhz directly.
     tair, rhz = raw.tair, raw.rhz
     relax_valid = ((pts.tair_relax >= -100.0) & (pts.tair_relax <= 100.0)
                    & (pts.vz_relax >= 0.0) & (pts.vz_relax <= 100.0)

@@ -69,3 +69,64 @@ def interpolate_series(raw_times: np.ndarray, sim_times: np.ndarray,
             res = np.where(exact_ok & _valid(name, ex), ex, res)
         out[name] = res
     return out
+
+
+def interpolate_gap_capped(raw_times: np.ndarray, sim_times: np.ndarray,
+                           values: np.ndarray,
+                           max_gap_minutes: float = 180.0) -> np.ndarray:
+    """RoadSurfSource-style interpolation
+    (examples/example2/src/RoadSurfSource.cpp:449-507):
+
+     * an exact time match with a valid value is copied;
+     * otherwise the NEAREST VALID samples before/after are found (missing
+       rows are skipped, unlike JsonSource's adjacent-only brackets);
+     * if the valid bracketing samples are more than ``max_gap_minutes``
+       apart, the result is missing (the reference's 180-min cap,
+       RoadSurfSource.cpp:555);
+     * otherwise linear interpolation between them (the reference weighs in
+       whole minutes because querydata times are minute-resolution; seconds
+       give identical results for minute-aligned inputs);
+     * sim times before the first raw sample are missing (pPos == 0 guard).
+
+    values: [R] floats (missing <= -100); returns [S] floats."""
+    raw_times = np.asarray(raw_times, np.int64)
+    sim_times = np.asarray(sim_times, np.int64)
+    values = np.asarray(values, np.float64)
+    R = raw_times.shape[0]
+    S = sim_times.shape[0]
+    out = np.full(S, MISSING)
+    if R == 0:
+        return out
+    valid = values > -100.0
+
+    # nearest valid raw index at-or-after / at-or-before each raw position
+    idx_r = np.arange(R)
+    nxt = np.where(valid, idx_r, R)
+    nxt = np.minimum.accumulate(nxt[::-1])[::-1]       # next valid >= i
+    prv = np.where(valid, idx_r, -1)
+    prv = np.maximum.accumulate(prv)                   # prev valid <= i
+
+    pos = np.searchsorted(raw_times, sim_times, side="left")
+    exact = (pos < R) & (np.take(raw_times, np.clip(pos, 0, R - 1))
+                         == sim_times)
+    exact_valid = exact & np.take(valid, np.clip(pos, 0, R - 1))
+
+    # interpolation path (pos > 0 required; RoadSurfSource.cpp:462-463)
+    can = (~exact_valid) & (pos > 0)
+    p2 = np.take(nxt, np.clip(pos, 0, R - 1))          # first valid >= pos
+    p2 = np.where(pos >= R, R, p2)
+    p1 = np.take(prv, np.clip(pos - 1, 0, R - 1))      # first valid <= pos-1
+    can = can & (p2 < R) & (p1 >= 0)
+    p1c = np.clip(p1, 0, R - 1)
+    p2c = np.clip(p2, 0, R - 1)
+    t1 = np.take(raw_times, p1c)
+    t2 = np.take(raw_times, p2c)
+    gap_ok = (t2 - t1) <= max_gap_minutes * 60.0
+    can = can & gap_ok
+    denom = np.where(t2 == t1, 1, t2 - t1).astype(np.float64)
+    wgt = (sim_times - t1).astype(np.float64) / denom
+    v1 = np.take(values, p1c)
+    v2 = np.take(values, p2c)
+    out = np.where(can, v1 + wgt * (v2 - v1), out)
+    out = np.where(exact_valid, np.take(values, np.clip(pos, 0, R - 1)), out)
+    return out

@@ -201,19 +201,20 @@ class RoadSurfSource(Source):
     road temperature becomes this cycle's TSurfObs input."""
 
     def __init__(self, path: str, sim_times: np.ndarray,
-                 is_observation: bool = True, max_gap_minutes: int = 180):
+                 is_observation: bool = True, max_gap_minutes: float = 180.0):
         self.is_observation = is_observation
         doc = read_json_tolerant(path)
         self._stations = []
         for st in doc:
             times = np.array([parse_time(t, "%Y-%m-%dT%H:%M")
                               for t in st.get("time", [])], np.int64)
-            vals = {"tsurf_obs": np.asarray(
-                st.get("RoadTemperature", []), np.float64)}
-            interp = interpolate_series(times, sim_times, vals)
-            # gap cap: invalidate interpolated values spanning > max_gap
+            vals = np.asarray(st.get("RoadTemperature", []), np.float64)
+            # skip-missing interpolation with the 180-min gap cap
+            # (examples/example2/src/RoadSurfSource.cpp:449-507, :555)
+            from .interp import interpolate_gap_capped
             full = {k: np.full(len(sim_times), MISSING) for k in VAR_NAMES}
-            full["tsurf_obs"] = interp["tsurf_obs"]
+            full["tsurf_obs"] = interpolate_gap_capped(
+                times, sim_times, vals, max_gap_minutes=max_gap_minutes)
             self._stations.append(StationData(
                 point_id=int(st.get("statId", 0)),
                 lat=float(st.get("lat", MISSING)),
@@ -236,7 +237,9 @@ def create_source(cfg: dict, sim_times: np.ndarray) -> Source:
                            lat=float(cfg.get("lat", MISSING)),
                            lon=float(cfg.get("lon", MISSING)))
     if typ.lower() == "roadsurf":
-        return RoadSurfSource(cfg["path"], sim_times)
+        return RoadSurfSource(
+            cfg["path"], sim_times,
+            max_gap_minutes=float(cfg.get("max_gap_minutes", 180.0)))
     if typ == "smartmet":
         from .smartmet import SmartMetSource
         return SmartMetSource(cfg, sim_times,

@@ -95,6 +95,17 @@ def pallas_scan_sharded(tmp0, scal0, forcing, cfg, params, grid,
         raise ValueError(
             f"points ({n_points}) must divide the mesh ({ndev} devices); "
             "pad with pad_points() first")
+    from ..ops.pallas_step import LANE
+    per_shard = n_points // ndev
+    if per_shard % LANE:
+        raise ValueError(
+            f"per-device points ({per_shard} = {n_points}/{ndev}) must be a "
+            f"multiple of the kernel lane width ({LANE}); pad with "
+            f"pad_points(tree, {ndev * LANE}) first")
+    if tile_p is not None and per_shard % tile_p:
+        raise ValueError(
+            f"per-device points ({per_shard}) must be a multiple of tile_p "
+            f"({tile_p}); pad with pad_points(tree, {ndev * tile_p}) first")
 
     def local(tmp, scal, forc):
         return pallas_scan(tmp, scal, forc, cfg, params, grid,

@@ -45,6 +45,43 @@ def test_interpolation_prec_phase_nearest_next():
     np.testing.assert_array_equal(out["prec_phase"], [1.0, 3.0, 3.0])
 
 
+def test_gap_capped_interpolation():
+    """RoadSurfSource interpolation semantics
+    (examples/example2/src/RoadSurfSource.cpp:449-507): skip-missing
+    brackets, 180-min gap cap, exact-match copy, pPos==0 guard."""
+    from roadsurf_tpu.io.interp import interpolate_gap_capped
+    h = 3600
+    raw_t = np.array([0, 1 * h, 2 * h, 6 * h, 7 * h])
+    vals = np.array([0.0, MISSING, 4.0, 12.0, 14.0])
+    sim_t = np.array([-h // 2, 0, h, h + 1800, 4 * h, 6 * h + 1800])
+    out = interpolate_gap_capped(raw_t, sim_t, vals, max_gap_minutes=180.0)
+    assert out[0] == MISSING                     # before first raw sample
+    assert out[1] == 0.0                         # exact valid match
+    # raw at 1h is missing -> brackets skip to (0h, 2h), gap 2h <= 180min
+    np.testing.assert_allclose(out[2], 2.0)
+    np.testing.assert_allclose(out[3], 3.0)      # 1.5h between 0h..2h
+    assert out[4] == MISSING                     # 2h..6h gap = 240min > cap
+    np.testing.assert_allclose(out[5], 13.0)     # 6h..7h gap ok
+
+
+def test_roadsurf_source_gap_cap(tmp_path):
+    """The RoadSurf warm-start source applies the 180-min cap."""
+    from roadsurf_tpu.io.sources import RoadSurfSource
+    times = ["2019-12-02T00:00", "2019-12-02T01:00", "2019-12-02T06:00"]
+    doc = [{"statId": 7, "lat": 60.0, "lon": 25.0, "time": times,
+            "RoadTemperature": [1.0, 2.0, 12.0]}]
+    path = tmp_path / "prev.json"
+    path.write_text(json.dumps(doc))
+    t0 = utc("2019-12-02 00:00")
+    sim = np.array([t0, t0 + 1800, t0 + 3 * 3600, t0 + 6 * 3600])
+    src = RoadSurfSource(str(path), sim)
+    v = src.stations()[0].values["tsurf_obs"]
+    np.testing.assert_allclose(v[0], 1.0)
+    np.testing.assert_allclose(v[1], 1.5)
+    assert v[2] == MISSING       # inside the 1h..6h gap (300 min > 180)
+    np.testing.assert_allclose(v[3], 12.0)
+
+
 def test_sim_times_before_raw_start_missing():
     raw_t = np.array([3600, 7200], np.int64)
     out = interpolate_series(raw_t, np.array([0, 1800, 3600], np.int64),

@@ -66,7 +66,17 @@ def main():
     forc = ps.pack_forcing(prep, ones, ones, obs)
     jax.block_until_ready(forc)
 
-    variants = [(64, 8), (96, 8), (96, 4)]
+    # The full sweep behind the numbers documented in BASELINE.md/CLAUDE.md:
+    # sublane counts 8..64 measure the VPU-latency-hiding curve, 96/128 probe
+    # the VMEM ceiling (expected to fail remote compile).  Override with e.g.
+    # BENCH_TILE_VARIANTS="64:8,96:4" for a targeted run.
+    env = os.environ.get("BENCH_TILE_VARIANTS")
+    if env:
+        variants = [tuple(int(v) for v in pair.split(":"))
+                    for pair in env.split(",")]
+    else:
+        variants = [(8, 8), (16, 8), (32, 8), (64, 8), (64, 4), (64, 16),
+                    (96, 8), (96, 4), (128, 2)]
     for subl, ct in variants:
         tile_p = subl * 128
         if npoints % tile_p or t_chunk % ct:
