@@ -90,53 +90,79 @@ class Prepared(NamedTuple):
     trf_fric: jnp.ndarray    #: [T] traffic friction heat
 
 
-def _check_values(raw: RawForcing, skyview_active, settings: ModelSettings):
-    """Input range guards (CheckValues, src/InputOutput.f90:45-84)."""
-    ok = ((raw.tair >= -90.0) & (raw.tair <= 100.0)
-          & (raw.tdew >= -90.0) & (raw.tdew <= 100.0)
-          & (raw.rhz >= -0.1) & (raw.rhz <= 120.0)
-          & (raw.vz >= -1.0) & (raw.vz <= 100.0)
-          & (raw.sw >= -0.1) & (raw.sw <= 4000.0)
-          & (raw.lw >= -0.1) & (raw.lw <= 1000.0)
-          & (raw.prec >= -0.1) & (raw.prec <= 500.0))
-    sky_ok = ((raw.sw_dir >= -0.1) & (raw.sw_dir <= 4000.0)
-              & (raw.lw_net >= -1000.0) & (raw.lw_net <= 1000.0))
-    ok = ok & (sky_ok | ~skyview_active[..., None])
-    # the final step skips CheckValues (Simulation.f90:100-113)
-    return ok.at[..., -1].set(True)
+def relax_anchors(raw: RawForcing, pts: PointParams):
+    """Relaxation anchor values (X_initEnd, src/Relaxation.f90:10-47): the
+    forcing at the 0-based anchor step init_len-1, with the first-step wind
+    floor applied first (Initialization.f90:121-123).  raw: [P, T];
+    returns ([P] tair, vz, rhz)."""
+    tair = jnp.asarray(raw.tair)
+    vz = jnp.asarray(raw.vz)
+    rhz = jnp.asarray(raw.rhz)
+    vz = vz.at[..., 0].set(jnp.maximum(vz[..., 0], 0.4))
+    t0 = jnp.maximum(jnp.asarray(pts.init_len, jnp.int32) - 1, 0)[..., None]
+    anchor = lambda x: jnp.take_along_axis(x, t0, axis=-1)[..., 0]
+    return anchor(tair), anchor(vz), anchor(rhz)
 
 
-def prepare(raw: RawForcing, pts: PointParams, cal: Calendar,
-            settings: ModelSettings, p: PhysicsParams,
-            use_relaxation: Optional[jnp.ndarray] = None) -> Prepared:
-    """Build the prepared forcing tensor.  All inputs [P, T]; output [T, P]."""
-    raw = RawForcing(*(jnp.asarray(x) for x in raw))
-    pts = PointParams(*(jnp.asarray(x) for x in pts))
-    T = raw.tair.shape[-1]
-    dtype = raw.tair.dtype
+def prepare_window(rawT: RawForcing, pts: PointParams, hour, settings, p,
+                   t_offset=0, t_total: int = None, anchors=None, jde=None,
+                   use_relaxation: Optional[jnp.ndarray] = None,
+                   enable_skyview: bool = False) -> Prepared:
+    """Window-parameterized, time-major forcing preparation (jit-safe).
+
+    The production engine streams forcing in time chunks (the full [T, P]
+    tensor never exists, SURVEY.md section 6); every step-dependent rule here
+    is written analytically in the GLOBAL step index, so chunked calls
+    compose to exactly ``prepare``'s output (tests/test_forcing_window.py).
+
+    rawT: RawForcing with TIME-MAJOR [Tc, P] leaves covering global steps
+    [t_offset, t_offset + Tc); hour: [Tc] UTC hours; t_total: full simulation
+    length T (for the first/last-step quirks); anchors: the
+    ``relax_anchors`` triple (required when settings.use_relaxation);
+    jde: [Tc] julian ephemeris day (required when ``enable_skyview``).
+    """
+    Tc = rawT.tair.shape[0]
+    dtype = rawT.tair.dtype
+    t_idx = t_offset + jnp.arange(Tc)             # [Tc] global step index
+    last = (t_idx == t_total - 1)[:, None]        # the lastValues step
+    pvec = lambda x: jnp.asarray(x)[None, :]      # [1, P] broadcast helper
 
     skyview_active = (pts.sky_view < 1.0) & (pts.sky_view > -0.01)
-    valid = _check_values(raw, skyview_active, settings)
+
+    # --- CheckValues (src/InputOutput.f90:45-84); the final step skips it
+    # (Simulation.f90:100-113) --------------------------------------------
+    ok = ((rawT.tair >= -90.0) & (rawT.tair <= 100.0)
+          & (rawT.tdew >= -90.0) & (rawT.tdew <= 100.0)
+          & (rawT.rhz >= -0.1) & (rawT.rhz <= 120.0)
+          & (rawT.vz >= -1.0) & (rawT.vz <= 100.0)
+          & (rawT.sw >= -0.1) & (rawT.sw <= 4000.0)
+          & (rawT.lw >= -0.1) & (rawT.lw <= 1000.0)
+          & (rawT.prec >= -0.1) & (rawT.prec <= 500.0))
+    sky_ok = ((rawT.sw_dir >= -0.1) & (rawT.sw_dir <= 4000.0)
+              & (rawT.lw_net >= -1000.0) & (rawT.lw_net <= 1000.0))
+    ok = ok & (sky_ok | ~pvec(skyview_active))
+    valid = ok | last
 
     # Initialization.f90:121-123 -- first wind value floored before anything
-    vz = raw.vz.at[..., 0].set(jnp.maximum(raw.vz[..., 0], 0.4))
+    vz = jnp.where((t_idx == 0)[:, None], jnp.maximum(rawT.vz, 0.4), rawT.vz)
 
     # CheckValues SW_dir <= SW clamp (InputOutput.f90:75-77); the last step
     # skips CheckValues, so the clamp is masked off there.
-    sw_dir = jnp.where(jnp.arange(T) < T - 1,
-                       jnp.minimum(raw.sw_dir, raw.sw), raw.sw_dir)
+    sw_dir = jnp.where(last, rawT.sw_dir, jnp.minimum(rawT.sw_dir, rawT.sw))
 
     # --- sky view / local horizons (ModRadiation, applied per point where
     # 0 <= sky_view < 1; Simulation.f90:152-155) -------------------------
-    sw, lw = raw.sw, raw.lw
-    if bool(np.any(np.asarray(skyview_active))):
-        jde = jnp.asarray(cal.jde, dtype=dtype)
+    sw, lw = rawT.sw, rawT.lw
+    if enable_skyview:
+        jde = jnp.asarray(jde, dtype=dtype)
         elev, azim = elevation_azimuth(jde[None, :], pts.lat[..., None],
-                                       pts.lon[..., None])
-        sw_m, lw_m = modify_radiation(sw, sw_dir, lw, raw.lw_net, elev, azim,
+                                       pts.lon[..., None])      # [P, Tc]
+        pm = lambda x: jnp.swapaxes(x, 0, 1)                    # <-> [P, Tc]
+        sw_m, lw_m = modify_radiation(pm(sw), pm(sw_dir), pm(lw),
+                                      pm(rawT.lw_net), elev, azim,
                                       pts.sky_view[..., None], pts.horizons, p)
-        sw = jnp.where(skyview_active[..., None], sw_m, sw)
-        lw = jnp.where(skyview_active[..., None], lw_m, lw)
+        sw = jnp.where(pvec(skyview_active), pm(sw_m), sw)
+        lw = jnp.where(pvec(skyview_active), pm(lw_m), lw)
 
     # --- relaxation (RelaxationOperations, src/Relaxation.f90:10-47) ----
     # NOTE: the reference also recomputes atm%TDew from the relaxed Tair/Rhz
@@ -145,7 +171,7 @@ def prepare(raw: RawForcing, pts: PointParams, cal: Calendar,
     # Relaxation.f90:46), and example2's writer outputs the INPUT tdew array
     # (QueryDataTools.cpp:334-336).  So no Tdew recompute is needed here; the
     # boundary layer consumes rhz directly.
-    tair, rhz = raw.tair, raw.rhz
+    tair, rhz = rawT.tair, rawT.rhz
     relax_valid = ((pts.tair_relax >= -100.0) & (pts.tair_relax <= 100.0)
                    & (pts.vz_relax >= 0.0) & (pts.vz_relax <= 100.0)
                    & (pts.rh_relax >= 0.0) & (pts.rh_relax <= 110.0))
@@ -153,64 +179,85 @@ def prepare(raw: RawForcing, pts: PointParams, cal: Calendar,
         use_relaxation = jnp.asarray(settings.use_relaxation)
     relax_on = relax_valid & use_relaxation
     if settings.use_relaxation:
-        t_idx = jnp.arange(T)
-        t0 = pts.init_len[..., None] - 1          # 0-based anchor step
+        assert anchors is not None, "relaxation requires relax_anchors()"
+        tair_a, vz_a, rhz_a = anchors
+        t0 = pvec(pts.init_len - 1)               # 0-based anchor step
+        tcol = t_idx[:, None]
         # adjustment applies for 1-based i > InitLenI, i.e. t >= init_len,
         # and never to the final step (lastValues)
-        adj_mask = (t_idx >= t0 + 1) & (t_idx < T - 1) & relax_on[..., None]
-        decay = jnp.exp(-(settings.dt * (t_idx - t0)) / (4.0 * 3600.0))
-        anchor = lambda x: jnp.take_along_axis(x, jnp.maximum(t0, 0), axis=-1)
+        adj_mask = (tcol >= t0 + 1) & (~last) & pvec(relax_on)
+        decay = jnp.exp(-(settings.dt * (tcol - t0)) / (4.0 * 3600.0))
         tair = jnp.where(adj_mask,
-                         tair - (pts.tair_relax[..., None] - anchor(tair)) * decay,
+                         tair - (pvec(pts.tair_relax) - pvec(tair_a)) * decay,
                          tair)
         vz = jnp.where(adj_mask,
-                       vz - (pts.vz_relax[..., None] - anchor(vz)) * decay, vz)
-        rhz_adj = rhz - (pts.rh_relax[..., None] - anchor(rhz)) * decay
+                       vz - (pvec(pts.vz_relax) - pvec(vz_a)) * decay, vz)
+        rhz_adj = rhz - (pvec(pts.rh_relax) - pvec(rhz_a)) * decay
         rhz = jnp.where(adj_mask, jnp.minimum(rhz_adj, 100.0), rhz)
 
     # --- day/night traffic + wind floor (SetDayDependendVariables,
     # src/BalanceModel.f90:354-387) --------------------------------------
-    hour = jnp.asarray(cal.hour)
+    hour = jnp.asarray(hour)
     is_night = (hour >= p.night_on) | (hour <= p.night_off)
     calm_lim = jnp.where(is_night, p.calm_lim_ngt, p.calm_lim_day).astype(dtype)
     trf_fric = jnp.where(is_night, p.trf_fric_ngt, p.trf_fric_day).astype(dtype)
-    vz = jnp.maximum(vz, calm_lim[None, :])
+    vz = jnp.maximum(vz, calm_lim[:, None])
 
     # --- precipitation typing (pure in forcing after relaxation) --------
-    prec_step = raw.prec / 3600.0 * settings.dt   # SetCurrentValues :111
-    rain, snow, _ = storage.calc_prec_type(raw.prec_phase, prec_step,
+    prec_step = rawT.prec / 3600.0 * settings.dt  # SetCurrentValues :111
+    rain, snow, _ = storage.calc_prec_type(rawT.prec_phase, prec_step,
                                            tair, rhz, p)
 
     # --- obs forcing of the surface temperature (SetCurrentValues,
     # src/InputOutput.f90:116-148) ---------------------------------------
-    t_idx = jnp.arange(T)
-    in_init = (t_idx + 1) <= pts.init_len[..., None]
+    tcol = t_idx[:, None]
+    in_init = (tcol + 1) <= pvec(pts.init_len)
     force_phase = in_init | bool(settings.force_tsurf)
     coupling_on = ((pts.coupling_end >= 1)
                    & (pts.coupling_tsurf > -100.0)
                    & settings.use_coupling)
-    before_window = (~coupling_on[..., None]) | \
-        ((t_idx + 1) < pts.coupling_start[..., None])
-    obs_ok = raw.tsurf_obs > -100.0
-    forced = force_phase & obs_ok & before_window & (t_idx < T - 1)
-    tsurf_obs = jnp.where(forced, raw.tsurf_obs, MISSING)
+    before_window = (~pvec(coupling_on)) | ((tcol + 1) < pvec(pts.coupling_start))
+    obs_ok = rawT.tsurf_obs > -100.0
+    forced = force_phase & obs_ok & before_window & (~last)
+    tsurf_obs = jnp.where(forced, rawT.tsurf_obs, MISSING)
 
     # --- coupling-phase flag for the melting guard ----------------------
-    in_coupling = (coupling_on[..., None]
-                   & ((t_idx + 1) >= pts.coupling_start[..., None])
-                   & ((t_idx + 1) <= pts.coupling_end[..., None]))
-    # the final step keeps the previous flag (no CouplingOperations1 there)
-    if T >= 2:
-        in_coupling = in_coupling.at[..., -1].set(in_coupling[..., -2])
+    # the final step keeps the previous flag (no CouplingOperations1 there):
+    # the flag is analytic in t, so the last step evaluates it at t-1.
+    te = jnp.where((t_idx == t_total - 1) & (t_total >= 2), t_idx - 1, t_idx)
+    tecol = te[:, None]
+    in_coupling = (pvec(coupling_on)
+                   & ((tecol + 1) >= pvec(pts.coupling_start))
+                   & ((tecol + 1) <= pvec(pts.coupling_end)))
 
-    tm = lambda x: jnp.swapaxes(jnp.asarray(x, dtype=dtype), -1, 0)
+    f = lambda x: jnp.asarray(x, dtype=dtype)
     return Prepared(
-        tair=tm(tair), vz=tm(vz), rhz=tm(rhz), rain=tm(rain), snow=tm(snow),
-        sw=tm(sw), lw=tm(lw), tsurf_obs=tm(tsurf_obs),
-        valid=jnp.swapaxes(valid, -1, 0),
-        in_coupling=jnp.swapaxes(in_coupling, -1, 0),
-        trf_fric=trf_fric,
+        tair=f(tair), vz=f(vz), rhz=f(rhz), rain=f(rain), snow=f(snow),
+        sw=f(sw), lw=f(lw), tsurf_obs=f(tsurf_obs),
+        valid=valid, in_coupling=in_coupling, trf_fric=trf_fric,
     )
+
+
+def prepare(raw: RawForcing, pts: PointParams, cal: Calendar,
+            settings: ModelSettings, p: PhysicsParams,
+            use_relaxation: Optional[jnp.ndarray] = None) -> Prepared:
+    """Build the prepared forcing tensor.  All inputs [P, T]; output [T, P].
+
+    Thin wrapper over :func:`prepare_window` with the full [0, T) window."""
+    raw = RawForcing(*(jnp.asarray(x) for x in raw))
+    pts = PointParams(*(jnp.asarray(x) for x in pts))
+    T = raw.tair.shape[-1]
+    dtype = raw.tair.dtype
+
+    skyview_active = (pts.sky_view < 1.0) & (pts.sky_view > -0.01)
+    enable_skyview = bool(np.any(np.asarray(skyview_active)))
+    anchors = relax_anchors(raw, pts) if settings.use_relaxation else None
+    jde = jnp.asarray(cal.jde, dtype=dtype) if enable_skyview else None
+    rawT = RawForcing(*(jnp.swapaxes(x, -1, 0) for x in raw))
+    return prepare_window(rawT, pts, jnp.asarray(cal.hour), settings, p,
+                          t_offset=0, t_total=T, anchors=anchors, jde=jde,
+                          use_relaxation=use_relaxation,
+                          enable_skyview=enable_skyview)
 
 
 def cof_schedule(sw_correction, lw_correction, coupling_end, T: int,

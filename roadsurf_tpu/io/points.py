@@ -111,6 +111,30 @@ def read_ascii_mask(path: str, ny: int, nx: int, include: str) -> np.ndarray:
     return m
 
 
+def nearest_station_index(st_lats, st_lons, lats, lons,
+                          max_radius_km: float = 50.0) -> np.ndarray:
+    """Nearest-station index per point within ``max_radius_km``; -1 when no
+    station is in range (the NearTree radius pattern,
+    examples/example2/src/RoadSurfSource.cpp:516-616).  The production engine
+    ships this index to device and expands station forcing to points there
+    (production.StationExpander) -- the [P, T] tensor never materializes."""
+    st_lats = np.asarray(st_lats, np.float64)
+    st_lons = np.asarray(st_lons, np.float64)
+    lats = np.asarray(lats, np.float64)
+    lons = np.asarray(lons, np.float64)
+    # blocked over points to bound the [Pb, S] distance matrix at large P
+    out = np.empty(len(lats), np.int64)
+    blk = max(1, min(len(lats), 2_000_000 // max(len(st_lats), 1)))
+    for i0 in range(0, len(lats), blk):
+        sl = slice(i0, i0 + blk)
+        d = haversine_km(lats[sl, None], lons[sl, None],
+                         st_lats[None, :], st_lons[None, :])
+        idx = np.argmin(d, axis=1)
+        ok = d[np.arange(len(idx)), idx] <= max_radius_km
+        out[sl] = np.where(ok, idx, -1)
+    return out
+
+
 def nearest_station_forcing(raw: RawForcing, st_lats, st_lons, lats, lons,
                             max_radius_km: float = 50.0
                             ) -> Tuple[RawForcing, np.ndarray]:
@@ -120,15 +144,8 @@ def nearest_station_forcing(raw: RawForcing, st_lats, st_lons, lats, lons,
 
     Returns (RawForcing [P, T], station_index [P] with -1 for out-of-range).
     """
-    st_lats = np.asarray(st_lats, np.float64)
-    st_lons = np.asarray(st_lons, np.float64)
-    lats = np.asarray(lats, np.float64)
-    lons = np.asarray(lons, np.float64)
-    d = haversine_km(lats[:, None], lons[:, None],
-                     st_lats[None, :], st_lons[None, :])    # [P, S]
-    idx = np.argmin(d, axis=1)
-    dist = d[np.arange(len(lats)), idx]
-    ok = dist <= max_radius_km
+    idx = nearest_station_index(st_lats, st_lons, lats, lons, max_radius_km)
+    ok = idx >= 0
     idx_eff = np.where(ok, idx, 0)
 
     def take(x, fill):

@@ -338,10 +338,16 @@ def _make_kernel(nsteps, chunk_t, out_stride, cfg, p, dyc, cond_dz, wcont,
     nchunks = -(-nsteps // chunk_t)
     dt = cfg.dt
 
-    def kernel(forc_hbm, tmp_init, scal_init, out_hbm, tmp_out, scal_out,
-               fbuf, obuf, in_sems, out_sem):
+    def kernel(off_smem, forc_hbm, tmp_init, scal_init, out_hbm, tmp_out,
+               scal_out, fbuf, obuf, in_sems, out_sem):
         tile = pl.program_id(0)
         p0 = tile * subl
+        # global step offset of this call (the production engine streams the
+        # scan in time chunks; output rows index the GLOBAL output stride so
+        # each chunk emits only the rows the run actually keeps)
+        off = off_smem[0]
+        os32 = np.int32(out_stride)
+        out_base = jax.lax.div(off + os32 - np.int32(1), os32)
 
         tmp_out[...] = tmp_init[...]
         scal_out[...] = scal_init[...]
@@ -463,12 +469,13 @@ def _make_kernel(nsteps, chunk_t, out_stride, cfg, p, dyc, cond_dz, wcont,
                                     for r in range(NROWS)])
                 scal_out[...] = sc_new
 
-                # output at stride (the step failing CheckValues still
-                # emits; later steps are poisoned -- step.py semantics).
-                # Output events are rare (out_stride is ~30-60 min in
-                # production) so each is its own small DMA -- this decouples
-                # out_stride from the forcing chunk size.
-                @pl.when(run & (jax.lax.rem(t, out_stride) == 0))
+                # output at the GLOBAL stride (the step failing CheckValues
+                # still emits; later steps are poisoned -- step.py
+                # semantics).  Output events are rare (out_stride is ~30-60
+                # min in production) so each is its own small DMA -- this
+                # decouples out_stride from the forcing chunk size.
+                tg = jnp.asarray(t, jnp.int32) + off
+                @pl.when(run & (jax.lax.rem(tg, os32) == 0))
                 def _():
                     poison = failed_prev
                     def field(r):
@@ -481,7 +488,8 @@ def _make_kernel(nsteps, chunk_t, out_stride, cfg, p, dyc, cond_dz, wcont,
                     obuf[0] = row
                     out_dma = pltpu.make_async_copy(
                         obuf,
-                        out_hbm.at[pl.ds(jax.lax.div(t, out_stride), 1), :,
+                        out_hbm.at[pl.ds(jax.lax.div(tg, os32)
+                                         - out_base, 1), :,
                                    pl.ds(p0, subl), :],
                         out_sem)
                     out_dma.start()
@@ -499,7 +507,8 @@ def _make_kernel(nsteps, chunk_t, out_stride, cfg, p, dyc, cond_dz, wcont,
 def pallas_scan(tmp0, scal0, forcing, cfg: StepConfig, p: PhysicsParams,
                 grid: LayerGrid, out_stride: int = 1, chunk_t: int = 8,
                 tile_p: int = None, bl_iters: int = 40,
-                interpret: bool = False):
+                interpret: bool = False, nsteps: int = None,
+                out_offset=None, n_out: int = None):
     """Run the fused forecast scan.
 
     tmp0: [LPAD, P] float32 initial profile (row 0 air, rows 1..L ground,
@@ -507,8 +516,20 @@ def pallas_scan(tmp0, scal0, forcing, cfg: StepConfig, p: PhysicsParams,
     scal0: [NROWS, P] packed scalar state;
     forcing: [T, NCH, P] packed forcing channels.
 
+    nsteps: actual step count when < T (the production engine pads the final
+    streaming chunk to the chunk_t multiple; steps >= nsteps are no-ops --
+    the kernel's ``run`` mask covers exactly this).
+
+    out_offset: GLOBAL step index of this call's first step (traced scalar
+    ok).  Output rows are collected where (out_offset + t) %% out_stride == 0
+    -- the production engine's chunks emit exactly the run-level output
+    cadence regardless of chunk boundaries.  ``n_out`` must then be passed as
+    the (static) number of stride hits in [out_offset, out_offset + nsteps);
+    at least one row is always allocated (unwritten when there are no hits).
+
     Returns (tmp_final [LPAD, P], scal_final [NROWS, P],
-             out [n_out, N_OUT_FIELDS, P]).
+             out [n_out, N_OUT_FIELDS, P]) with n_out = ceil(nsteps/out_stride)
+    when out_offset is not given.
     """
     lpad, P = tmp0.shape
     T = forcing.shape[0]
@@ -517,8 +538,16 @@ def pallas_scan(tmp0, scal0, forcing, cfg: StepConfig, p: PhysicsParams,
     assert P % tile_p == 0, (P, tile_p)
     subl = tile_p // LANE
     assert T % chunk_t == 0, (T, chunk_t)
-    nsteps = T
-    n_out_total = -(-T // out_stride)
+    nsteps = T if nsteps is None else nsteps
+    assert 0 < nsteps <= T, (nsteps, T)
+    if out_offset is None:
+        assert n_out is None
+        out_offset = 0
+        n_out_total = -(-nsteps // out_stride)
+    else:
+        assert n_out is not None, "out_offset requires an explicit n_out"
+        n_out_total = max(int(n_out), 1)
+    off_arr = jnp.asarray(out_offset, jnp.int32).reshape(1)
     rows = P // LANE                      # trailing (rows, LANE) point layout
     tmp0 = tmp0.reshape(lpad, rows, LANE)
     scal0 = scal0.reshape(NROWS, rows, LANE)
@@ -543,6 +572,7 @@ def pallas_scan(tmp0, scal0, forcing, cfg: StepConfig, p: PhysicsParams,
         kernel,
         grid=(n_tiles,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # global step offset
             pl.BlockSpec(memory_space=pl.ANY),          # forcing in HBM
             pl.BlockSpec((lpad, subl, LANE), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
@@ -572,7 +602,7 @@ def pallas_scan(tmp0, scal0, forcing, cfg: StepConfig, p: PhysicsParams,
             transcendentals=int(10 * P * nsteps),
         ),
         interpret=interpret,
-    )(forcing, tmp0, scal0)
+    )(off_arr, forcing, tmp0, scal0)
     out, tmp_f, scal_f = result
     return (tmp_f.reshape(lpad, P), scal_f.reshape(NROWS, P),
             out.reshape(n_out_total, N_OUT_FIELDS, P))

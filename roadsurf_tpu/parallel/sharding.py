@@ -73,7 +73,8 @@ def pad_points(tree, multiple: int, axis: int = 0):
 def pallas_scan_sharded(tmp0, scal0, forcing, cfg, params, grid,
                         mesh: Mesh, out_stride: int = 1, chunk_t: int = 8,
                         tile_p: Optional[int] = None, bl_iters: int = 40,
-                        interpret: bool = False):
+                        interpret: bool = False, nsteps: Optional[int] = None,
+                        out_offset=None, n_out: Optional[int] = None):
     """The fused Pallas forecast kernel over a points-sharded device mesh.
 
     This is the production multi-chip path: ``shard_map`` hands each device
@@ -107,18 +108,27 @@ def pallas_scan_sharded(tmp0, scal0, forcing, cfg, params, grid,
             f"per-device points ({per_shard}) must be a multiple of tile_p "
             f"({tile_p}); pad with pad_points(tree, {ndev * tile_p}) first")
 
-    def local(tmp, scal, forc):
+    if out_offset is None:
+        eff_steps = forcing.shape[0] if nsteps is None else nsteps
+        n_out = -(-eff_steps // out_stride)
+        out_offset = 0
+    else:
+        assert n_out is not None, "out_offset requires an explicit n_out"
+
+    def local(tmp, scal, forc, off):
         return pallas_scan(tmp, scal, forc, cfg, params, grid,
                            out_stride=out_stride, chunk_t=chunk_t,
                            tile_p=tile_p, bl_iters=bl_iters,
-                           interpret=interpret)
+                           interpret=interpret, nsteps=nsteps,
+                           out_offset=off, n_out=n_out)
 
     shard = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(None, POINTS), P(None, POINTS), P(None, None, POINTS)),
+        in_specs=(P(None, POINTS), P(None, POINTS), P(None, None, POINTS),
+                  P()),
         out_specs=(P(None, POINTS), P(None, POINTS), P(None, None, POINTS)),
         check_vma=False)  # pallas_call out_shapes carry no vma annotation
-    return shard(tmp0, scal0, forcing)
+    return shard(tmp0, scal0, forcing, jnp.asarray(out_offset, jnp.int32))
 
 
 def failure_stats(failed, mesh: Optional[Mesh] = None):

@@ -56,13 +56,30 @@ def build_times(config: dict, forecast_time: Optional[int], dt: float):
     return start, forecast_time, sim_len
 
 
+def _resolve_engine(engine: str, settings, config) -> str:
+    """'auto' picks the streamed Pallas engine on real TPU hardware for the
+    uncoupled forecast workload; everything else (coupled runs, CPU runs,
+    per-point output depths) uses the XLA scan engine."""
+    if engine != "auto":
+        return engine
+    import jax
+    if jax.default_backend() == "tpu" and not settings.use_coupling:
+        return "pallas"
+    return "scan"
+
+
 def run(config_path: str, forecast_time_s: Optional[str] = None,
         output_path: Optional[str] = None,
         checkpoint_in: Optional[str] = None,
         checkpoint_out: Optional[str] = None,
-        verbose: bool = True):
+        verbose: bool = True, engine: str = "auto",
+        profile_dir: Optional[str] = None, chunk_t: int = 64,
+        metrics=None):
     import dataclasses
 
+    from .observability import RunMetrics, profile_trace
+
+    metrics = metrics if metrics is not None else RunMetrics()
     config = read_json_tolerant(config_path)
     settings0 = ModelSettings.from_json(config)
     ftime = parse_forecast_time(forecast_time_s) if forecast_time_s else None
@@ -74,6 +91,15 @@ def run(config_path: str, forecast_time_s: Optional[str] = None,
     if verbose:
         print(f"Simulation: {sim_len} steps of {settings.dt}s from "
               f"{timelib.strftime('%Y-%m-%dT%H:%M', timelib.gmtime(start))}")
+
+    engine = _resolve_engine(engine, settings, config)
+    if engine == "pallas":
+        with profile_trace(profile_dir):
+            return run_production_config(
+                config, settings, cal, sim_epochs, now, start,
+                output_path=output_path, checkpoint_in=checkpoint_in,
+                checkpoint_out=checkpoint_out, verbose=verbose,
+                metrics=metrics, chunk_t=chunk_t)
 
     # ---- data plane ----------------------------------------------------
     handler = DataHandler.from_config(config, sim_epochs)
@@ -160,8 +186,16 @@ def run(config_path: str, forecast_time_s: Optional[str] = None,
     missing_limit = float(config.get("missing_limit", 100.0)) / 100.0
 
     # ---- run ------------------------------------------------------------
+    import contextlib
+
+    from .observability import failure_summary, profile_trace
     model = Model(settings, params)
     t0 = timelib.time()
+    metrics.count("points", len(point_ids))
+    metrics.count("steps", sim_len)
+    _stack = contextlib.ExitStack()
+    _stack.enter_context(profile_trace(profile_dir))
+    _stack.enter_context(metrics.phase("simulate"))
     warm_state = None
     if checkpoint_in:
         # warm start: previous cycle's prognostic state replaces the
@@ -198,12 +232,18 @@ def run(config_path: str, forecast_time_s: Optional[str] = None,
             "tsurf": np.asarray(sim_out.tsurf), "wat": np.asarray(sim_out.wat),
             "snow": np.asarray(sim_out.snow), "ice": np.asarray(sim_out.ice),
             "ice2": np.asarray(sim_out.ice2), "dep": np.asarray(sim_out.dep)}
+    _stack.close()
+    elapsed = timelib.time() - t0
+    metrics.count("point_steps_per_s",
+                  round(len(point_ids) * sim_len / max(elapsed, 1e-9), 1))
     if verbose:
         print(f"Simulated {len(point_ids)} points x {sim_len} steps "
-              f"in {timelib.time() - t0:.2f}s")
+              f"in {elapsed:.2f}s (scan engine)")
 
     failed = np.asarray(final_state.failed)
     fail_ratio = float(failed.mean())
+    if fail_ratio > 0 and verbose:
+        failure_summary(failed, lats, lons)
     if fail_ratio > missing_limit:
         raise SystemExit(
             f"Failed-point ratio {fail_ratio:.1%} exceeds missing_limit "
@@ -240,7 +280,216 @@ def run(config_path: str, forecast_time_s: Optional[str] = None,
                         sim_epochs[-1])
         if verbose:
             print(f"Wrote checkpoint {checkpoint_out}")
+    if verbose:
+        metrics.report()
     return final_state, out_fields
+
+
+def run_production_config(config, settings, cal, sim_epochs, now, start, *,
+                          output_path=None, checkpoint_in=None,
+                          checkpoint_out=None, verbose=True, metrics=None,
+                          chunk_t: int = 64, out_stride=None, interpret=None):
+    """The production path: streamed, sharded, fused-kernel execution of an
+    example1/example2 config (uncoupled forecast workloads).
+
+    The data plane stays station-keyed ([S, T]); per-point forcing expands on
+    device chunk by chunk (production.StationExpander), so memory is
+    O(S*T + chunk), not O(P*T) -- the TPU re-design of the reference's async
+    operational driver (examples/example2/src/roadrunner.cpp:595-719)."""
+    import jax
+    import jax.numpy as jnp
+
+    from . import production
+    from .config import PhysicsParams as _PP
+    from .forcing import relax_anchors
+    from .io.points import nearest_station_index, parse_points_full
+    from .io.writer import save_checkpoint as _save_ck
+    from .model import Model
+    from .observability import Progress, RunMetrics, failure_summary
+    from .parallel.sharding import make_mesh
+    from .state import PointParams, init_state
+
+    metrics = metrics or RunMetrics()
+    sim_len = settings.sim_len
+    with metrics.phase("data_plane"):
+        handler = DataHandler.from_config(config, sim_epochs)
+        pset = parse_points_full(config)
+        if pset.mode == "stations":
+            if handler.has_grid_source():
+                raise SystemExit(
+                    "Grid sources have no stations; a 'points' section "
+                    "(coordinate/coordinates/grid) is required")
+            point_ids = handler.point_ids()
+            if not point_ids:
+                raise SystemExit("No points found in input sources")
+            locs = handler.locations()
+            lats = np.array([l[0] for l in locs])
+            lons = np.array([l[1] for l in locs])
+        else:
+            lats, lons = pset.lats, pset.lons
+            point_ids = list(range(1, len(lats) + 1))
+
+        if handler.has_grid_source():
+            raise SystemExit(
+                "grid/querydata sources are not wired to the streamed "
+                "pallas engine yet; run with --engine scan")
+
+        raw_st, obs_tair_st = handler.merged(sim_len)
+        locs = handler.locations()
+        st_lats = np.array([l[0] for l in locs])
+        st_lons = np.array([l[1] for l in locs])
+        if pset.mode == "stations":
+            st_idx = np.arange(len(point_ids), dtype=np.int64)
+        else:
+            radius = float((config.get("points") or {}).get(
+                "max_radius_km", 50.0))
+            st_idx = nearest_station_index(st_lats, st_lons, lats, lons,
+                                           radius)
+            if verbose:
+                print(f"Point mode '{pset.mode}': {len(lats)} points "
+                      f"({int((st_idx < 0).sum())} outside station radius)")
+
+        # station-level read_input semantics (derive + obs blanking)
+        pts_st, blanked_st = derive_point_params(
+            raw_st, settings,
+            obs_tair=obs_tair_st if handler.sources else None)
+        raw_st = raw_st._replace(tsurf_obs=blanked_st)
+
+        # required-variable validation (roadrunner.cpp:183-231) -- station
+        # level; a bad station poisons every point mapped to it (identical
+        # to the scan path's per-point poisoning, since point data IS the
+        # station data)
+        required = ("tair", "rhz", "prec", "sw", "lw", "vz")
+        ok_st = np.ones(len(st_lats), bool)
+        for name in required:
+            missing = np.asarray(getattr(raw_st, name)) < -9000.0
+            bad = missing.any(axis=1)
+            for i in np.where(bad & ok_st)[0]:
+                if verbose:
+                    t_bad = int(np.argmax(missing[i]))
+                    print(f"{name} missing at step {t_bad} "
+                          f"{st_lats[i]:.4f} {st_lons[i]:.4f}")
+            ok_st &= ~bad
+        if verbose and (~ok_st).any():
+            print(f"Skipping points mapped to {int((~ok_st).sum())} "
+                  f"stations with missing required input")
+        tair_p = np.asarray(raw_st.tair).copy()
+        tair_p[~ok_st, :] = -9999.9
+        raw_st = raw_st._replace(tair=tair_p)
+
+        anchors_st = (relax_anchors(raw_st, pts_st)
+                      if settings.use_relaxation else None)
+
+        # expand per-point parameters from their stations
+        P = len(point_ids)
+        ok = st_idx >= 0
+        ie = np.where(ok, st_idx, 0)
+        g = lambda a, fill: np.where(ok, np.asarray(a)[ie], fill)
+        pcfg = config.get("parameters", {}) or {}
+        svf, horizons = sky_variables(point_ids, pcfg.get("sky_view_file"),
+                                      pcfg.get("local_horizon_file"))
+        default_init = 1 + int((now - start) / settings.dt)
+        init_len = (g(pts_st.init_len, 1).astype(np.int32)
+                    if settings.use_relaxation
+                    else np.full(P, default_init, np.int32))
+        pts = PointParams(
+            lat=np.asarray(lats, np.float64),
+            lon=np.asarray(lons, np.float64),
+            sky_view=np.asarray(svf, np.float64),
+            horizons=np.asarray(horizons, np.float64),
+            init_len=init_len,
+            tair_relax=g(pts_st.tair_relax, -9999.9),
+            vz_relax=g(pts_st.vz_relax, -9999.9),
+            rh_relax=g(pts_st.rh_relax, -9999.9),
+            coupling_start=g(pts_st.coupling_start, -99).astype(np.int32),
+            coupling_end=g(pts_st.coupling_end, -99).astype(np.int32),
+            coupling_tsurf=g(pts_st.coupling_tsurf, -9999.9),
+            out_depth=np.full(P, -9999.9))
+        anchors = (tuple(np.asarray(g(a, -9999.9)) for a in anchors_st)
+                   if anchors_st is not None else None)
+        model = Model(settings, PhysicsParams.from_json(settings, pcfg))
+
+    with metrics.phase("init"):
+        mesh = make_mesh()
+        p_pad = production.padded_points(P, mesh)
+        st_idx_pad = np.pad(np.asarray(st_idx), (0, p_pad - P),
+                            constant_values=-1)
+        expander = production.StationExpander(raw_st, st_idx_pad, mesh,
+                                              chunk_t=chunk_t)
+        date0 = (int(cal.year[0]), int(cal.month[0]), int(cal.day[0]))
+        first = lambda name: g(np.asarray(getattr(raw_st, name))[:, 0],
+                               -9999.9)
+
+        @jax.jit  # one compile instead of an eager dispatch storm at 1M pts
+        def _init(t0v, vz0, rh0, ts0):
+            return init_state(settings, model.params, model.grid,
+                              t0v, vz0, rh0, ts0, date0,
+                              depth_idx=model.cfg.depth_idx,
+                              depth_w=model.cfg.depth_w,
+                              use_depth=model.cfg.use_depth,
+                              dtype=jnp.float32)
+
+        state0 = _init(first("tair"), first("vz"), first("rhz"),
+                       first("tsurf_obs"))
+        if checkpoint_in:
+            state0 = restore_state(checkpoint_in, point_ids, state0)
+
+    progress = Progress(sim_len) if verbose else None
+    res = production.run_production(
+        model, expander, pts, cal, state0, anchors=anchors, mesh=mesh,
+        chunk_t=chunk_t, out_stride=out_stride, interpret=interpret,
+        metrics=metrics, progress=progress)
+
+    failed = np.asarray(res.state.failed)
+    missing_limit = float(config.get("missing_limit", 100.0)) / 100.0
+    fail_ratio = float(failed.mean())
+    if fail_ratio > 0 and verbose:
+        failure_summary(failed, lats, lons)
+    if fail_ratio > missing_limit:
+        raise SystemExit(
+            f"Failed-point ratio {fail_ratio:.1%} exceeds missing_limit "
+            f"{missing_limit:.1%}")
+
+    out_cfg = config.get("output", {}) or {}
+    out_path = output_path or out_cfg.get("filename")
+    epochs_out = sim_epochs[res.out_steps]
+    fields = res.fields
+    with metrics.phase("write"):
+        if out_path and out_path.endswith(".npz") and pset.mode == "grid":
+            from .io.writer import write_forecast_grid
+            from .physics.moisture import tdew_from_rh
+            # tair/tdew grids at the output steps only (station -> points)
+            ta_st = np.asarray(raw_st.tair)[:, res.out_steps]
+            td_st = np.asarray(raw_st.tdew)[:, res.out_steps]
+            rh_st = np.asarray(raw_st.rhz)[:, res.out_steps]
+            need = (td_st < -100.0) & (ta_st > -100.0) & (rh_st > -100.0)
+            td_st = np.where(need, np.asarray(tdew_from_rh(ta_st, rh_st)),
+                             td_st)
+            exp2 = lambda a: np.where(ok[None, :], a[ie].T, -9999.9)
+            write_forecast_grid(out_path, pset.grid_lats, pset.grid_lons,
+                                pset.keep, epochs_out, fields,
+                                exp2(ta_st), exp2(td_st), output_stride=1)
+            if verbose:
+                print(f"Wrote {out_path}")
+        elif out_path:
+            write_forecast_json(out_path, point_ids, lats, lons, epochs_out,
+                                fields["tsurf"], fields["wat"],
+                                fields["snow"], fields["ice"], fields["dep"],
+                                output_stride=1)
+            if verbose:
+                print(f"Wrote {out_path}")
+        if checkpoint_out:
+            _save_ck(checkpoint_out, res.state, point_ids, sim_epochs[-1])
+            if verbose:
+                print(f"Wrote checkpoint {checkpoint_out}")
+    if verbose:
+        print(f"Simulated {P} points x {sim_len} steps: "
+              f"{res.point_steps_per_s / 1e6:.1f} M point-steps/s "
+              f"(pallas engine)")
+        metrics.report()
+    out_fields = dict(fields)
+    out_fields["steps"] = res.out_steps
+    return res.state, out_fields
 
 
 def main(argv=None):
@@ -256,13 +505,22 @@ def main(argv=None):
                          "thread-level parallelism")
     ap.add_argument("--checkpoint-in", dest="ck_in")
     ap.add_argument("--checkpoint-out", dest="ck_out")
+    ap.add_argument("--engine", choices=("auto", "scan", "pallas"),
+                    default="auto",
+                    help="auto = streamed fused-kernel engine on TPU for "
+                         "uncoupled runs, XLA scan otherwise")
+    ap.add_argument("--profile", dest="profile_dir",
+                    help="capture a JAX profiler trace to this directory")
+    ap.add_argument("--chunk-t", dest="chunk_t", type=int, default=64,
+                    help="forcing streaming chunk length (pallas engine)")
     ap.add_argument("-v", "--verbose", action="store_true", default=True)
     args = ap.parse_args(argv)
     cfg = args.config or args.config_pos
     if not cfg:
         ap.error("Configuration file not given")
     run(cfg, args.time, args.output, args.ck_in, args.ck_out,
-        verbose=args.verbose)
+        verbose=args.verbose, engine=args.engine,
+        profile_dir=args.profile_dir, chunk_t=args.chunk_t)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,161 @@
+"""Production streamed engine parity: the chunked on-device expansion +
+prepare_window + sharded Pallas pipeline must reproduce the XLA scan engine
+(float32 vs float32; kernel in interpret mode on CPU, 8 virtual devices)."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from roadsurf_tpu import production
+from roadsurf_tpu.config import ModelSettings
+from roadsurf_tpu.forcing import RawForcing, relax_anchors
+from roadsurf_tpu.io.synthetic import synthetic_raw
+from roadsurf_tpu.model import Model, scan_steps
+from roadsurf_tpu.parallel.sharding import make_mesh
+from roadsurf_tpu.state import default_point_params
+
+
+def _station_setup(S=5, P=1000, T=97, seed=11, use_relaxation=True,
+                   skyview=True):
+    settings = ModelSettings(sim_len=T, dt=30.0,
+                             use_relaxation=use_relaxation)
+    model = Model(settings)
+    raw_st, cal = synthetic_raw(S, T, seed=seed, dtype=np.float32)
+
+    rng = np.random.default_rng(seed)
+    st_idx = rng.integers(0, S, size=P)
+    st_idx[::97] = -1                      # a few out-of-radius points
+
+    # host-side reference expansion (what the expander does on device)
+    def expand(x, fill):
+        v = np.asarray(x)[np.where(st_idx >= 0, st_idx, 0)]
+        return np.where((st_idx >= 0)[:, None], v, fill)
+
+    raw_pt = RawForcing(
+        *(expand(getattr(raw_st, n), -9999 if n == "prec_phase"
+                 else np.float32(-9999.9)) for n in RawForcing._fields))
+
+    pts = default_point_params(P)
+    pts = pts._replace(
+        lat=58.0 + rng.uniform(0, 6, P), lon=20.0 + rng.uniform(0, 10, P))
+    if skyview:
+        sky = np.full(P, 1.0)
+        sky[::3] = 0.6
+        hor = np.zeros((P, 360))
+        hor[::3] = rng.uniform(0, 20, size=360)
+        pts = pts._replace(sky_view=sky, horizons=hor)
+    if use_relaxation:
+        il = np.full(P, 25, np.int32)
+        rows = np.arange(P)
+        pts = pts._replace(
+            init_len=il,
+            tair_relax=np.asarray(raw_pt.tair)[rows, il] + 0.4,
+            vz_relax=np.asarray(raw_pt.vz)[rows, il] + 0.1,
+            rh_relax=np.asarray(raw_pt.rhz)[rows, il] - 2.0)
+    return settings, model, raw_st, raw_pt, cal, pts, st_idx
+
+
+def _reference_run(model, raw_pt, cal, pts):
+    final, out = model.run(raw_pt, pts, cal)
+    return final, out
+
+
+@pytest.mark.parametrize("chunk_t,out_stride", [(32, 6), (32, 1)])
+def test_production_matches_scan(chunk_t, out_stride):
+    settings, model, raw_st, raw_pt, cal, pts, st_idx = _station_setup()
+    T = settings.sim_len
+    final_ref, out_ref = _reference_run(model, raw_pt, cal, pts)
+
+    mesh = make_mesh()
+    p_pad = production.padded_points(len(st_idx), mesh)
+    st_idx_pad = np.pad(st_idx, (0, p_pad - len(st_idx)),
+                        constant_values=-1)
+    exp = production.StationExpander(raw_st, st_idx_pad, mesh,
+                                     chunk_t=chunk_t)
+    state0 = model.init(raw_pt, cal, dtype=jnp.float32)
+    res = production.run_production(
+        model, exp, pts, cal, state0,
+        anchors=relax_anchors(raw_pt, pts),
+        mesh=mesh, chunk_t=chunk_t, out_stride=out_stride,
+        inner_chunk_t=8, interpret=True)
+
+    want_steps = np.arange(0, T, out_stride)
+    assert np.array_equal(res.out_steps, want_steps)
+    np.testing.assert_allclose(
+        res.fields["tsurf"], np.asarray(out_ref.tsurf)[want_steps],
+        rtol=2e-5, atol=2e-4)
+    for name in ("wat", "snow", "ice", "ice2", "dep"):
+        np.testing.assert_allclose(
+            res.fields[name], np.asarray(getattr(out_ref, name))[want_steps],
+            rtol=2e-5, atol=2e-3, err_msg=name)
+    np.testing.assert_allclose(np.asarray(res.state.tmp),
+                               np.asarray(final_ref.tmp),
+                               rtol=2e-5, atol=2e-4)
+    assert np.array_equal(np.asarray(res.state.failed),
+                          np.asarray(final_ref.failed))
+
+
+def test_runner_engine_parity(tmp_path):
+    """runner --engine pallas must reproduce --engine scan on a real config
+    with file-backed forcing (example1 stations, example2 grid point mode)."""
+    import importlib.util
+    import json
+    import os
+
+    ex1 = os.path.join(os.path.dirname(__file__), "..", "examples",
+                       "example1")
+    spec = importlib.util.spec_from_file_location("ex1_gen",
+                                                  os.path.join(ex1, "make_data.py"))
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    gen.main(["--stations", "3", "--analysis", "2", "--forecast", "2",
+              "--outdir", str(tmp_path)])
+
+    from roadsurf_tpu.io.sources import read_json_tolerant
+    cfg = read_json_tolerant(os.path.join(ex1, "example_config.json"))
+    cfg["time"]["analysis"] = 1
+    cfg["time"]["forecast"] = 1
+    cfg["model"]["use_coupling"] = 0
+    cfg["model"]["DTSecs"] = 120
+    cfg["points"] = {"grid": {"bbox": [60.1, 24.8, 61.0, 26.1],
+                              "ny": 4, "nx": 5}}
+    for src in cfg["input"]:
+        src["path"] = str(tmp_path / os.path.basename(src["path"]))
+    cfg["parameters"].pop("sky_view_file", None)
+    cfg["parameters"].pop("local_horizon_file", None)
+    del cfg["output"]["filename"]
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    from roadsurf_tpu import runner
+    st_scan, f_scan = runner.run(str(cfg_path), "20191202T0000",
+                                 verbose=False, engine="scan")
+    st_pal, f_pal = runner.run(str(cfg_path), "20191202T0000",
+                               verbose=False, engine="pallas")
+    steps = f_pal["steps"]
+    assert steps[0] == 0 and len(steps) > 2
+    # scan runs float64 on CPU, the production engine float32
+    np.testing.assert_allclose(f_pal["tsurf"], f_scan["tsurf"][steps],
+                               rtol=1e-4, atol=5e-3)
+    for name in ("wat", "snow", "ice", "ice2", "dep"):
+        np.testing.assert_allclose(f_pal[name], f_scan[name][steps],
+                                   rtol=1e-4, atol=5e-3, err_msg=name)
+    assert np.array_equal(np.asarray(st_pal.failed),
+                          np.asarray(st_scan.failed))
+
+
+def test_production_rejects_per_point_depth():
+    settings, model, raw_st, raw_pt, cal, pts, st_idx = _station_setup(
+        P=200, T=32, use_relaxation=False, skyview=False)
+    pts = pts._replace(out_depth=np.full(200, 0.05))
+    mesh = make_mesh()
+    p_pad = production.padded_points(200, mesh)
+    exp = production.StationExpander(
+        raw_st, np.pad(st_idx, (0, p_pad - 200), constant_values=-1),
+        mesh, chunk_t=32)
+    state0 = model.init(raw_pt, cal, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="out_depth"):
+        production.run_production(model, exp, pts, cal, state0, mesh=mesh,
+                                  chunk_t=32, interpret=True)
