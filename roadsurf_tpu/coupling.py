@@ -367,19 +367,33 @@ def run_coupled(state: State, prep: Prepared, pts: PointParams,
                      in_coupling=in_coupling, out=out)
 
     final = jax.lax.while_loop(cond_fn, body, carry0)
+    return _last_values(final.state, final.cv, final.in_coupling, prep, pts,
+                        cfg, grid, p, T, n_out, out_stride, final.out,
+                        depth=depth)
 
-    # ---- final step (lastValues; Simulation.f90:100-113) ----------------
-    st, cv = final.state, final.cv
+
+def _last_values(st, cv, in_coupling, prep, pts, cfg, grid, p, T, n_out,
+                 out_stride, out, depth=None):
+    """The final step (lastValues; Simulation.f90:100-113) shared by the
+    per-point-PC and segmented coupled engines."""
+    from .physics.soil import surface_average
+
+    dtype = st.tmp.dtype
+    P = st.tsurf_ave.shape[0]
+    obs = jnp.asarray(pts.coupling_tsurf, dtype)
+    dyc = jnp.asarray(grid.dyc, dtype)
+    cond_dz = jnp.asarray(grid.cond_dz, dtype)
+    wcont = jnp.asarray(grid.wcont, dtype)
+    pr = jnp.arange(P)
     ip = T - 1
     ok = ~st.failed
     f = StepForcing(
         tair=prep.tair[ip], vz=prep.vz[ip], rhz=prep.rhz[ip],
         rain=prep.rain[ip], snow=prep.snow[ip], sw=prep.sw[ip],
         lw=prep.lw[ip], tsurf_obs=jnp.full((P,), -9999.9, dtype),
-        valid=jnp.ones((P,), bool), in_coupling=final.in_coupling,
+        valid=jnp.ones((P,), bool), in_coupling=in_coupling,
         trf_fric=prep.trf_fric[ip], sw_cof=cv.sw_cof, lw_cof=cv.lw_cof)
     # lastValues recomputes TsurfAve from the committed profile first
-    from .physics.soil import surface_average
     didx, dw, duse = depth if depth is not None else (
         cfg.depth_idx, cfg.depth_w, cfg.use_depth)
     tmp0 = st.tmp.at[..., 0].set(jnp.where(ok, f.tair, st.tmp[..., 0]))
@@ -397,6 +411,362 @@ def run_coupled(state: State, prep: Prepared, pts: PointParams,
     fields = jnp.where((~ok)[..., None], -9999.0, fields)
     on_stride = (ip % out_stride) == 0
     slot = jnp.where(ok & on_stride, ip // out_stride, n_out)
-    out = final.out.at[pr, slot].set(fields, mode="drop")
+    out = out.at[pr, slot].set(fields, mode="drop")
     # failed points keep their poison row for the final slot too
     return st_final, jnp.swapaxes(out, 0, 1)
+
+
+# ---------------------------------------------------------------------------
+# Segmented coupled engine: iteration-major window re-runs
+# ---------------------------------------------------------------------------
+#
+# The per-point-PC engine above replays the reference's control flow exactly,
+# but every step gathers 8 forcing channels at per-point row indices from
+# [T, P] HBM arrays -- a gather-bound pattern on TPU.  The segmented engine
+# re-organizes the SAME per-point step sequences into three phases so the hot
+# path is contiguous row slices:
+#
+#   phase A  [1, ws-1]   plain scan, no coupling state touched
+#   phase B  [ws, we_b]  the global coupling window (ws = min coupling_start,
+#                        we_b = min(max coupling_end, T-1)):
+#            pass "first":  every point steps; coupled points stop at their
+#                           own end_i (snapshot at start_i, control at end_i)
+#            pass "rerun":  a lax.while_loop; each trip restores the snapshot
+#                           for points whose control said rewind and replays
+#                           ONLY their [start_i, end_i], masked
+#            pass "tail":   coupled points step (end_i, we_b] with the decayed
+#                           radiation coefficients
+#   phase C  [we_b+1, T]  plain scan with the decay folded into per-step
+#                         sw_cof/lw_cof channels (forcing.cof_window)
+#
+# Every executed (point, step) pair sees bit-identical inputs to the PC
+# engine (incl. the pre-rewind quirks: first re-run step has in_coupling
+# False, CheckValues row end_i, abnormal-tsurf test on the PRE-restore
+# state), so the two engines agree bitwise in float64
+# (tests/test_coupling_segmented.py).  Reference: src/Coupling.f90:10-140,
+# examples/example1/src/Simulation.f90:58-95.
+
+
+class WindowResult(NamedTuple):
+    state: "State"            #: state after step we_b
+    cv: "CouplingVars"        #: final coupling vars (sw_corr/lw_corr set)
+    out: jnp.ndarray          #: [n_out_b, P, 6] window output rows
+    in_coupling: jnp.ndarray  #: [P] flag after the last window step
+
+
+def window_out_rows(ws: int, we_b: int, out_stride: int):
+    """Global 0-based output rows the window emits: r in [ws-1, we_b-1] with
+    r %% out_stride == 0."""
+    import numpy as _np
+    first = -(-(ws - 1) // out_stride) * out_stride
+    return _np.arange(first, we_b, out_stride, dtype=_np.int64)
+
+
+def run_window_passes(state: State, provider, valid_win, ws: int, we_b: int,
+                      pts: PointParams, settings: ModelSettings,
+                      cfg: StepConfig, grid: LayerGrid, p: PhysicsParams,
+                      out_stride: int = 1, depth=None, wchunk: int = 64,
+                      cv: CouplingVars = None) -> WindowResult:
+    """Execute the global coupling window [ws, we_b] (1-based steps).
+
+    ``provider(t0)`` -> Prepared chunk with [wchunk, P] leaves covering
+    global 0-based forcing rows [t0, t0+wchunk) (t0 is a static python int;
+    rows beyond we_b-1 are masked off and may hold arbitrary finite data).
+    ``valid_win``: [we_b - ws + 2, P] bool, prep.valid rows ws-1 .. we_b
+    (the +1 row feeds the re-run first-step CheckValues quirk).
+    ``state``: after step ws-1.  Returns state after step we_b.
+    """
+    from .physics import storage as storage_mod
+
+    T = settings.sim_len
+    P = state.tsurf_ave.shape[0]
+    dtype = state.tmp.dtype
+    W = we_b - ws + 1
+    assert W >= 1 and we_b <= T - 1, (ws, we_b, T)
+    wchunk = min(wchunk, W)
+    nchunks = -(-W // wchunk)
+
+    dyc = jnp.asarray(grid.dyc, dtype)
+    cond_dz = jnp.asarray(grid.cond_dz, dtype)
+    wcont = jnp.asarray(grid.wcont, dtype)
+
+    start_i = jnp.asarray(pts.coupling_start, jnp.int32)
+    end_i = jnp.asarray(pts.coupling_end, jnp.int32)
+    obs = jnp.asarray(pts.coupling_tsurf, dtype)
+    coupled = (jnp.asarray(settings.use_coupling)
+               & (end_i >= 1) & (obs > -100.0))
+    sky_active = (pts.sky_view < 1.0) & (pts.sky_view > -0.01)
+
+    if cv is None:
+        cv = CouplingVars.init(P, dtype, obs)
+    snap0 = Snapshot(
+        tmp=jnp.zeros_like(state.tmp), tsurf_ave=jnp.zeros_like(obs),
+        wat=jnp.zeros_like(obs), snow=jnp.zeros_like(obs),
+        ice2=jnp.zeros_like(obs), dep=jnp.zeros_like(obs),
+        albedo=jnp.zeros_like(obs), very_cold=jnp.zeros(P, bool))
+
+    out_rows = window_out_rows(ws, we_b, out_stride)
+    n_out_b = max(len(out_rows), 1)
+    first_hit = int(out_rows[0]) if len(out_rows) else 0
+    out0 = jnp.full((n_out_b, P, 6), -9999.0, dtype)
+    choice0 = jnp.zeros((P,), bool)
+
+    tau = settings.coupling_effect_reduction
+    dts = settings.dt
+
+    def abnormal(st):
+        return (st.tsurf_ave < -100.0) | (st.tsurf_ave > 100.0)
+
+    def make_row_fn(mode, rr=None, valid_first=None):
+        def row_fn(carry, xs):
+            st, cv, snap, choice, out = carry
+            (tair, vz, rhz, rain, snowf, sw, lw, tobs, vld, trf), i = xs
+            i = i.astype(jnp.int32)
+            run = (i >= ws) & (i <= we_b)          # scalar: padded chunk rows
+            entry_ok = ~st.failed
+            in_window = (i >= start_i) & (i <= end_i)
+
+            if mode == "first":
+                mode_mask = jnp.where(coupled, i <= end_i, True)
+            elif mode == "rerun":
+                mode_mask = rr & (i >= start_i) & (i <= end_i)
+            else:                                   # tail
+                mode_mask = coupled & (i > end_i)
+            act = run & mode_mask & entry_ok
+
+            if mode == "first":
+                # saveDataForCoupling + cof reset (src/Coupling.f90:55-64)
+                do_save = act & coupled & (i == start_i) & (cv.iterations == 0)
+                snap = _save(st, snap, do_save)
+                cv = cv._replace(
+                    sw_cof=jnp.where(do_save, 1.0, cv.sw_cof),
+                    lw_cof=jnp.where(do_save, 1.0, cv.lw_cof),
+                    sw_corr=jnp.where(do_save, 0.0, cv.sw_corr),
+                    lw_corr=jnp.where(do_save, 0.0, cv.lw_corr))
+                # cof-choice at restore (src/Coupling.f90:66-77), captured at
+                # the window-start forcing row
+                cap = act & coupled & (i == start_i)
+                choice = jnp.where(cap, (sw > lw) & (~sky_active), choice)
+
+            if mode == "first":
+                in_cpl = act & coupled & in_window
+            elif mode == "rerun":
+                # pre-rewind flag: the first re-run step (i == start_i) ran
+                # with i = end_i + 1 before the rewind -> flag False
+                in_cpl = act & (i > start_i) & (i <= end_i)
+            else:
+                in_cpl = jnp.zeros((P,), bool)
+
+            # CheckValues (+ abnormal tsurf on the body-entry state)
+            vld_step = vld & ~abnormal(st)
+            if mode == "rerun":
+                vld_step = jnp.where(act & (i == start_i), valid_first,
+                                     vld_step)
+
+            if mode != "tail":
+                # snowIceCheck inside the window (src/Coupling.f90:259-289)
+                checked = storage_mod.snow_ice_check(
+                    storage_mod.Storages(st.wat, st.snow, st.ice, st.ice2,
+                                         st.dep), obs, p)
+                st = st._replace(
+                    wat=jnp.where(in_cpl, checked.wat, st.wat),
+                    snow=jnp.where(in_cpl, checked.snow, st.snow),
+                    ice=jnp.where(in_cpl, checked.ice, st.ice),
+                    ice2=jnp.where(in_cpl, checked.ice2, st.ice2),
+                    dep=jnp.where(in_cpl, checked.dep, st.dep))
+
+            if mode == "tail":
+                # post-window decay (src/Coupling.f90:82-88)
+                expo = -(dts * i.astype(dtype)
+                         - dts * end_i.astype(dtype)) / tau
+                dec = jnp.exp(jnp.minimum(expo, 0.0))
+                swc = jnp.where(act, 1.0 + cv.sw_corr * dec, cv.sw_cof)
+                lwc = jnp.where(act, 1.0 + cv.lw_corr * dec, cv.lw_cof)
+            else:
+                swc, lwc = cv.sw_cof, cv.lw_cof
+
+            f = StepForcing(tair=tair, vz=vz, rhz=rhz, rain=rain, snow=snowf,
+                            sw=sw, lw=lw, tsurf_obs=tobs, valid=vld_step,
+                            in_coupling=in_cpl, trf_fric=trf,
+                            sw_cof=swc, lw_cof=lwc)
+            stepped = step(st, f, obs, cfg, dyc, cond_dz, wcont, p,
+                           depth=depth)
+            st_new = jax.tree.map(
+                lambda n, o: jnp.where(
+                    act.reshape(act.shape + (1,) * (n.ndim - act.ndim)),
+                    n, o), stepped, st)
+
+            # SaveOutput row (overwritten by later re-runs where active)
+            on = ((i - 1) % out_stride) == 0
+            slot = jnp.clip((i - 1 - first_hit) // out_stride, 0, n_out_b - 1)
+            fields = jnp.stack(
+                [st_new.tsurf_ave, st_new.wat, st_new.snow, st_new.ice,
+                 st_new.ice2, st_new.dep], axis=-1)
+            fields = jnp.where(st.failed[..., None], -9999.0, fields)
+            row_old = jax.lax.dynamic_slice_in_dim(out, slot, 1, axis=0)[0]
+            merged = jnp.where((act & on)[..., None], fields, row_old)
+            out = jax.lax.dynamic_update_slice_in_dim(
+                out, merged[None], slot, axis=0)
+
+            if mode != "tail":
+                # CheckEndCoupling (src/Coupling.f90:98-118)
+                do_ctl = (act & coupled & (i == end_i) & (~cv.failed)
+                          & (~st_new.failed))
+                cv = coupling_control(st_new.tsurf_ave, obs, cv, do_ctl)
+
+            return (st_new, cv, snap, choice, out), None
+        return row_fn
+
+    def scan_pass(carry, mode, rr=None, valid_first=None):
+        row_fn = make_row_fn(mode, rr=rr, valid_first=valid_first)
+        for k in range(nchunks):
+            t0 = ws - 1 + k * wchunk
+            prep_c = provider(t0)
+            trf = jnp.broadcast_to(
+                jnp.asarray(prep_c.trf_fric, dtype)[:, None], (wchunk, P))
+            xs = ((prep_c.tair, prep_c.vz, prep_c.rhz, prep_c.rain,
+                   prep_c.snow, prep_c.sw, prep_c.lw, prep_c.tsurf_obs,
+                   prep_c.valid, trf),
+                  t0 + 1 + jnp.arange(wchunk, dtype=jnp.int32))
+            carry, _ = jax.lax.scan(row_fn, carry, xs)
+        return carry
+
+    carry = scan_pass((state, cv, snap0, choice0, out0), "first")
+
+    def rr_mask(st, cv):
+        # a point whose window ends at step T-1 never rewinds: the rewind
+        # fires at i = end_i + 1, and the PC loop stops at i < T
+        return cv.again & coupled & (end_i + 1 < T) & (~st.failed)
+
+    pr = jnp.arange(P)
+    vrow_idx = jnp.clip(end_i - (ws - 1), 0, valid_win.shape[0] - 1)
+
+    def while_body(carry):
+        st, cv, snap, choice, out = carry
+        rr = rr_mask(st, cv)
+        # CheckValues of the pre-rewind row end_i on the PRE-restore state
+        valid_first = valid_win[vrow_idx, pr] & ~abnormal(st)
+        st = _restore(st, snap, rr)
+        cv = cv._replace(
+            again=cv.again & ~rr,
+            sw_cof=jnp.where(rr, jnp.where(choice, cv.radcoeff, 1.0),
+                             cv.sw_cof),
+            lw_cof=jnp.where(rr, jnp.where(choice, 1.0, cv.radcoeff),
+                             cv.lw_cof))
+        return scan_pass((st, cv, snap, choice, out), "rerun", rr=rr,
+                         valid_first=valid_first)
+
+    carry = jax.lax.while_loop(
+        lambda c: jnp.any(rr_mask(c[0], c[1])), while_body, carry)
+    st, cv, snap, choice, out = scan_pass(carry, "tail")
+
+    in_cpl_last = coupled & (we_b >= start_i) & (we_b <= end_i)
+    return WindowResult(state=st, cv=cv, out=out, in_coupling=in_cpl_last)
+
+
+def run_coupled_segmented(state: State, prep: Prepared, pts: PointParams,
+                          settings: ModelSettings, cfg: StepConfig,
+                          grid: LayerGrid, p: PhysicsParams,
+                          out_stride: int = 1, depth=None, wchunk: int = 64):
+    """run_coupled via the segmented engine (scan phases A/C + iteration-major
+    window).  Same signature and bitwise-identical float64 results; the
+    production driver swaps phases A/C for the streamed Pallas engine."""
+    from .forcing import cof_window
+    from .model import scan_steps
+
+    T = settings.sim_len
+    P = state.tsurf_ave.shape[0]
+    dtype = state.tmp.dtype
+    n_out = -(-T // out_stride)
+    import numpy as _np
+    start_np = _np.asarray(pts.coupling_start)
+    end_np = _np.asarray(pts.coupling_end)
+    coupled_np = (bool(settings.use_coupling)
+                  & (end_np >= 1) & (_np.asarray(pts.coupling_tsurf) > -100.0))
+    obs = jnp.asarray(pts.coupling_tsurf, dtype)
+
+    have_window = bool(coupled_np.any())
+    if have_window:
+        ws = max(int(start_np[coupled_np].min()), 1)
+        we_b = int(min(end_np[coupled_np].max(), T - 1))
+        have_window = ws <= we_b
+    cv = CouplingVars.init(P, dtype, obs)
+
+    out = jnp.full((P, n_out, 6), -9999.0, dtype)
+    pr = jnp.arange(P)
+
+    def commit_rows(out, sim, t_lo):
+        """Fold a collected scan segment (SimOutput, rows t_lo..) into the
+        global strided buffer."""
+        rows = _np.arange(t_lo, t_lo + sim.tsurf.shape[0])
+        hit = rows % out_stride == 0
+        if not hit.any():
+            return out
+        rsel = _np.nonzero(hit)[0]
+        fields = jnp.stack([sim.tsurf[rsel], sim.wat[rsel], sim.snow[rsel],
+                            sim.ice[rsel], sim.ice2[rsel], sim.dep[rsel]],
+                           axis=-1)                       # [k, P, 6]
+        slots = rows[rsel] // out_stride
+        return out.at[:, jnp.asarray(slots)].set(
+            jnp.swapaxes(fields, 0, 1))
+
+    def seg(x, lo, hi):
+        return jax.tree.map(lambda a: a[lo:hi], x)
+
+    ones = lambda n: jnp.ones((n, P), dtype)
+
+    if not have_window:
+        final, sim = scan_steps(state, seg(prep, 0, T - 1), ones(T - 1),
+                                ones(T - 1), obs, cfg, grid, p,
+                                collect=True, depth=depth)
+        out = commit_rows(out, sim, 0)
+        return _last_values(final, cv, jnp.asarray(prep.in_coupling[T - 1]),
+                            prep, pts, cfg, grid, p, T, n_out, out_stride,
+                            out, depth=depth)
+
+    # ---- phase A ---------------------------------------------------------
+    if ws > 1:
+        state, sim = scan_steps(state, seg(prep, 0, ws - 1), ones(ws - 1),
+                                ones(ws - 1), obs, cfg, grid, p,
+                                collect=True, depth=depth)
+        out = commit_rows(out, sim, 0)
+
+    # ---- phase B ---------------------------------------------------------
+    W = we_b - ws + 1
+    wck = min(wchunk, W)
+    W_pad = -(-W // wck) * wck
+    wprep = jax.tree.map(
+        lambda a: jnp.concatenate(
+            [a[ws - 1:ws - 1 + W_pad]]
+            + ([jnp.repeat(a[we_b - 1:we_b], ws - 1 + W_pad - T, axis=0)]
+               if ws - 1 + W_pad > T else []), axis=0), prep)
+    provider = lambda t0: jax.tree.map(
+        lambda a: a[t0 - (ws - 1): t0 - (ws - 1) + wck], wprep)
+    valid_win = prep.valid[ws - 1: we_b + 1]
+
+    res = run_window_passes(state, provider, valid_win, ws, we_b, pts,
+                            settings, cfg, grid, p, out_stride=out_stride,
+                            depth=depth, wchunk=wck)
+    rows_b = window_out_rows(ws, we_b, out_stride)
+    if len(rows_b):
+        out = out.at[:, jnp.asarray(rows_b // out_stride)].set(
+            jnp.swapaxes(res.out[:len(rows_b)], 0, 1))
+    state, cv = res.state, res.cv
+
+    # ---- phase C ---------------------------------------------------------
+    if we_b < T - 1:
+        swc, lwc = cof_window(cv.sw_corr, cv.lw_corr, pts.coupling_end,
+                              we_b, T - 1 - we_b, T, settings, dtype)
+        state, sim = scan_steps(state, seg(prep, we_b, T - 1), swc, lwc,
+                                obs, cfg, grid, p, collect=True, depth=depth)
+        out = commit_rows(out, sim, we_b)
+
+    # ---- final step ------------------------------------------------------
+    fin_cof = cof_window(cv.sw_corr, cv.lw_corr, pts.coupling_end,
+                         T - 1, 1, T, settings, dtype)
+    cv = cv._replace(sw_cof=fin_cof[0][0], lw_cof=fin_cof[1][0])
+    # the PC engine's final-step flag is the analytic flag at step T-1,
+    # which prepare() already encodes in the last in_coupling row
+    return _last_values(state, cv, jnp.asarray(prep.in_coupling[T - 1]),
+                        prep, pts, cfg, grid, p, T, n_out, out_stride, out,
+                        depth=depth)

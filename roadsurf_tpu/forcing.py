@@ -260,6 +260,30 @@ def prepare(raw: RawForcing, pts: PointParams, cal: Calendar,
                           enable_skyview=enable_skyview)
 
 
+def cof_window(sw_corr, lw_corr, coupling_end, t_offset: int, tc: int,
+               T: int, settings: ModelSettings, dtype=jnp.float64):
+    """Post-window radiation-coefficient rows [t_offset, t_offset+tc)
+    (0-based rows; row t = 1-based step t+1), valid only for rows at/after
+    every point's coupling_end.
+
+    Replicates the per-point-PC carry exactly (src/Coupling.f90:82-88 plus
+    the final-step freeze): the final step reuses the step-(T-1) value, which
+    for a window ending at T-1 is the *undecayed* trial coefficient
+    (dec(end)=1), not 1.0."""
+    rows = t_offset + jnp.arange(tc)
+    i = rows + 1
+    i_eff = jnp.where((rows == T - 1) & (T >= 2), i - 1, i)      # lastValues
+    end = jnp.asarray(coupling_end)[None, :]
+    dts = settings.dt
+    expo = -((dts * i_eff.astype(dtype))[:, None]
+             - dts * end.astype(dtype)) / settings.coupling_effect_reduction
+    dec = jnp.exp(jnp.minimum(expo, 0.0))
+    on = (i_eff[:, None] >= end) & (end >= 1)
+    sw = jnp.where(on, 1.0 + sw_corr[None, :] * dec, 1.0)
+    lw = jnp.where(on, 1.0 + lw_corr[None, :] * dec, 1.0)
+    return sw.astype(dtype), lw.astype(dtype)
+
+
 def cof_schedule(sw_correction, lw_correction, coupling_end, T: int,
                  settings: ModelSettings, dtype=jnp.float64):
     """Post-coupling radiation coefficient decay schedule
