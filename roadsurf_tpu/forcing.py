@@ -249,8 +249,9 @@ def prepare(raw: RawForcing, pts: PointParams, cal: Calendar,
     T = raw.tair.shape[-1]
     dtype = raw.tair.dtype
 
+    from .parallel.distributed import host_any
     skyview_active = (pts.sky_view < 1.0) & (pts.sky_view > -0.01)
-    enable_skyview = bool(np.any(np.asarray(skyview_active)))
+    enable_skyview = host_any(skyview_active)
     anchors = relax_anchors(raw, pts) if settings.use_relaxation else None
     jde = jnp.asarray(cal.jde, dtype=dtype) if enable_skyview else None
     rawT = RawForcing(*(jnp.swapaxes(x, -1, 0) for x in raw))

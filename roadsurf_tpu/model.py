@@ -91,14 +91,15 @@ class Model:
         settings.tsurf_output_depth wins when set (InputOutput.f90:125-130);
         otherwise per-point depths come from pts.out_depth (ex2's
         modelInput%depth)."""
-        import numpy as _np
         if self.cfg.use_depth:
             return None
-        od = _np.asarray(pts.out_depth)
-        if od.size == 0 or not (od >= 0.0).any():
+        from .parallel.distributed import host_any
+        if jnp.ndim(pts.out_depth) == 0 or pts.out_depth.shape[0] == 0 \
+                or not host_any(pts.out_depth >= 0.0):
             return None
         from .grid import depth_interp_coeffs_vec
-        idx, w, use = depth_interp_coeffs_vec(self.grid, od)
+        idx, w, use = depth_interp_coeffs_vec(self.grid,
+                                              np.asarray(pts.out_depth))
         return (jnp.asarray(idx), jnp.asarray(w, dtype or jnp.float64),
                 jnp.asarray(use))
 

@@ -72,6 +72,20 @@ def make_global(tree, mesh: Mesh, axis: int = 0):
     return jax.tree.map(put, tree)
 
 
+def host_any(x) -> bool:
+    """``bool(np.any(x))`` that also works for multi-process global arrays
+    (np.asarray on those raises).  Every process returns the SAME answer --
+    the per-host bits are allgathered -- so it is safe to branch static
+    (trace-time) configuration on the result."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        local = any(bool(np.any(np.asarray(s.data)))
+                    for s in x.addressable_shards)
+        from jax.experimental import multihost_utils
+        return bool(np.any(multihost_utils.process_allgather(
+            np.array([local]))))
+    return bool(np.any(np.asarray(x)))
+
+
 def gather_to_host(x):
     """Fetch a (possibly sharded) array fully to this host (output writing;
     on multi-host each host addresses only its shards, so production writers

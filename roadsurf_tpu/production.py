@@ -16,6 +16,11 @@ re-design here:
    dispatch round trip (see bench_full.py's measurement of the same pattern).
  * outputs are collected in-kernel at the output cadence and drained to host
    incrementally.
+ * coupled runs (src/Coupling.f90) run the same streamed kernel up to the
+   coupling window, execute the window with the iteration-major masked-scan
+   engine (coupling.run_window_passes) in ONE device dispatch, then stream
+   the remainder with the decayed radiation coefficients folded into the
+   kernel's sw_cof/lw_cof forcing channels (forcing.cof_window).
 
 This is the engine behind ``runner.py --engine pallas`` and
 ``bench_production.py``.
@@ -31,7 +36,8 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .config import MISSING
-from .forcing import Calendar, Prepared, RawForcing, prepare_window, relax_anchors
+from .forcing import (Calendar, Prepared, RawForcing, cof_window,
+                      prepare_window, relax_anchors)
 from .model import Model
 from .observability import Progress, RunMetrics
 from .ops import pallas_step as ps
@@ -77,7 +83,11 @@ class StationExpander:
         self.mesh = mesh
         S, T = np.asarray(raw_st.tair).shape
         self.sim_len = T
-        t_pad = -(-T // chunk_t) * chunk_t
+        # one extra chunk of tail padding: phase boundaries of the coupled
+        # driver start chunks at non-aligned offsets, so a window may overhang
+        # T by up to chunk_t - 1 rows (masked off by the kernel's nsteps)
+        t_pad = (-(-T // chunk_t) + 1) * chunk_t
+        self.t_pad = t_pad
         rep = NamedSharding(mesh, P())
         shp = NamedSharding(mesh, P(POINTS))
 
@@ -115,6 +125,258 @@ class ProductionResult(NamedTuple):
     point_steps_per_s: float     #: sustained streaming rate (real points)
 
 
+class _Engine:
+    """Device placement + chunk-fn compilation + range streaming shared by
+    the uncoupled and coupled production drivers."""
+
+    def __init__(self, model: Model, expander, pts: PointParams,
+                 cal: Calendar, state: State, *, anchors=None, mesh=None,
+                 chunk_t: int = 64, out_stride: Optional[int] = None,
+                 interpret: Optional[bool] = None, bl_iters: int = 40,
+                 inner_chunk_t: int = 8, tile_p: Optional[int] = None,
+                 metrics: Optional[RunMetrics] = None):
+        settings, params, cfg, grid = (model.settings, model.params,
+                                       model.cfg, model.grid)
+        self.model = model
+        self.expander = expander
+        self.settings, self.params, self.cfg, self.grid = (settings, params,
+                                                           cfg, grid)
+        self.T = settings.sim_len
+        self.mesh = mesh or make_mesh()
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        self.interpret = interpret
+        self.os_ = int(out_stride or settings.output_stride)
+        self.metrics = metrics or RunMetrics()
+        self.chunk_t = chunk_t
+        self.inner_chunk_t = inner_chunk_t
+        self.tile_p = tile_p
+        self.bl_iters = bl_iters
+        assert chunk_t % inner_chunk_t == 0, (chunk_t, inner_chunk_t)
+
+        if cfg.use_depth is False and np.any(np.asarray(pts.out_depth) >= 0.0):
+            raise ValueError(
+                "per-point out_depth is not supported by the fused kernel; "
+                "use the scan engine (runner --engine scan) or set the "
+                "global model.tsurfOutputDepth")
+
+        mesh_ = self.mesh
+        self.n_real = int(np.asarray(pts.lat).shape[0])
+        self.P_pad = padded_points(self.n_real, mesh_)
+        assert expander.num_points == self.P_pad, (
+            f"expander built for {expander.num_points} points, need "
+            f"{self.P_pad}")
+
+        with self.metrics.phase("setup"):
+            dtype = expander.dtype
+            self.dtype = dtype
+            skyview_active = ((np.asarray(pts.sky_view) < 1.0)
+                              & (np.asarray(pts.sky_view) > -0.01))
+            self.enable_sky = bool(skyview_active.any())
+
+            shp = NamedSharding(mesh_, P(POINTS))
+            sh2 = NamedSharding(mesh_, P(POINTS, None))
+            rep = NamedSharding(mesh_, P())
+
+            def put_pts(x, spec, dt=None):
+                x = _pad_tail(np.asarray(x), self.P_pad, axis=0)
+                if dt is not None:
+                    x = x.astype(dt)
+                return jax.device_put(x, spec)
+
+            fdt = np.float32 if dtype == jnp.float32 else np.float64
+            self.pts_dev = PointParams(
+                lat=put_pts(pts.lat, shp, fdt),
+                lon=put_pts(pts.lon, shp, fdt),
+                sky_view=put_pts(pts.sky_view, shp, fdt),
+                horizons=(put_pts(pts.horizons, sh2, fdt) if self.enable_sky
+                          else jax.device_put(
+                              np.zeros((self.P_pad, 1), fdt), sh2)),
+                init_len=put_pts(pts.init_len, shp, np.int32),
+                tair_relax=put_pts(pts.tair_relax, shp, fdt),
+                vz_relax=put_pts(pts.vz_relax, shp, fdt),
+                rh_relax=put_pts(pts.rh_relax, shp, fdt),
+                coupling_start=put_pts(pts.coupling_start, shp, np.int32),
+                coupling_end=put_pts(pts.coupling_end, shp, np.int32),
+                coupling_tsurf=put_pts(pts.coupling_tsurf, shp, fdt),
+                out_depth=put_pts(pts.out_depth, shp, fdt))
+            self.obs_dev = self.pts_dev.coupling_tsurf
+
+            self.anchors_dev = None
+            if settings.use_relaxation:
+                # anchor series values (X_initEnd, src/Relaxation.f90:10-47)
+                # are per-point scalars gathered host-side once
+                if anchors is None:
+                    raise ValueError(
+                        "settings.use_relaxation requires anchors; pass "
+                        "anchors=forcing.relax_anchors(...)")
+                self.anchors_dev = tuple(
+                    jax.device_put(_pad_tail(np.asarray(a, fdt), self.P_pad),
+                                   shp)
+                    for a in anchors)
+
+            t_pad = expander.t_pad
+            self.hour_dev = jax.device_put(
+                _pad_tail(np.asarray(cal.hour, np.int32), t_pad), rep)
+            self.jde_dev = None
+            if self.enable_sky:
+                self.jde_dev = jax.device_put(
+                    _pad_tail(np.asarray(cal.jde, fdt), t_pad), rep)
+
+            # packed state; padded points marked failed -> frozen at step 0
+            state_pad = _pad_state(state, self.P_pad)
+            tmp0, scal0 = ps.pack_state(state_pad)
+            self.tmp0 = jax.device_put(np.asarray(tmp0), sh_cols(mesh_))
+            scal = np.array(scal0)
+            scal[ps.R_FAILED, self.n_real:] = 1.0
+            self.scal0 = jax.device_put(scal, sh_cols(mesh_))
+            # unpack template for phase transitions (coupled driver)
+            self.template = jax.tree.map(
+                lambda x: jnp.asarray(np.asarray(x)), state_pad)
+
+        self.fn_cache = {}
+        # fixed output-row allocation: the max stride hits any chunk can
+        # contain (keeps the jit variant count small: main + ragged chunks)
+        self.k_alloc = (chunk_t - 1) // self.os_ + 1
+
+    # -- chunk functions ----------------------------------------------------
+
+    def chunk_fn(self, nsteps: int, with_cofs: bool):
+        """One fused jit per (chunk length, cof mode): expand ->
+        prepare_window -> pack -> sharded whole-scan kernel; the kernel
+        writes exactly the run-level output-stride rows (traced global
+        offset), so each chunk is ONE device dispatch."""
+        key = (nsteps, with_cofs)
+        if key in self.fn_cache:
+            return self.fn_cache[key]
+        settings, params, cfg, grid = (self.settings, self.params, self.cfg,
+                                       self.grid)
+        chunk_t, T = self.chunk_t, self.T
+        expander, mesh = self.expander, self.mesh
+
+        def prep_chunk(t0):
+            rawT = expander.raw_window(t0, chunk_t)
+            hr = jax.lax.dynamic_slice_in_dim(self.hour_dev, t0, chunk_t)
+            jd = (jax.lax.dynamic_slice_in_dim(self.jde_dev, t0, chunk_t)
+                  if self.enable_sky else None)
+            return prepare_window(
+                rawT, self.pts_dev, hr, settings, params, t_offset=t0,
+                t_total=T, anchors=self.anchors_dev, jde=jd,
+                enable_skyview=self.enable_sky)
+
+        def launch(tmp, scal, forc, t0, nsteps):
+            forc = jax.lax.with_sharding_constraint(
+                forc, NamedSharding(mesh, P(None, None, POINTS)))
+            tmp2, scal2, out = pallas_scan_sharded(
+                tmp, scal, forc, cfg, params, grid, mesh,
+                out_stride=self.os_, chunk_t=self.inner_chunk_t,
+                tile_p=self.tile_p, bl_iters=self.bl_iters,
+                interpret=self.interpret, nsteps=nsteps,
+                out_offset=t0, n_out=self.k_alloc)
+            return tmp2, scal2, out[:, :6]
+
+        if with_cofs:
+            @jax.jit
+            def fn(tmp, scal, t0, sw_corr, lw_corr):
+                prep = prep_chunk(t0)
+                swc, lwc = cof_window(
+                    sw_corr, lw_corr, self.pts_dev.coupling_end, t0, chunk_t,
+                    T, settings, jnp.float32)
+                forc = ps.pack_forcing(prep, swc, lwc, self.obs_dev)
+                return launch(tmp, scal, forc, t0, nsteps)
+        else:
+            @jax.jit
+            def fn(tmp, scal, t0):
+                prep = prep_chunk(t0)
+                ones = jnp.ones(prep.tair.shape, jnp.float32)
+                forc = ps.pack_forcing(prep, ones, ones, self.obs_dev)
+                return launch(tmp, scal, forc, t0, nsteps)
+
+        self.fn_cache[key] = fn
+        return fn
+
+    def _chunk_grid(self, t_lo: int, t_hi: int):
+        n = t_hi - t_lo
+        if n <= 0:
+            return []
+        nchunks = -(-n // self.chunk_t)
+        return [(t_lo + k * self.chunk_t,
+                 min(self.chunk_t, t_hi - t_lo - k * self.chunk_t))
+                for k in range(nchunks)]
+
+    def compile_range(self, t_lo: int, t_hi: int, with_cofs: bool):
+        """AOT-compile every chunk variant of a stream range."""
+        shapes = [jax.ShapeDtypeStruct(self.tmp0.shape, self.tmp0.dtype,
+                                       sharding=self.tmp0.sharding),
+                  jax.ShapeDtypeStruct(self.scal0.shape, self.scal0.dtype,
+                                       sharding=self.scal0.sharding),
+                  jax.ShapeDtypeStruct((), jnp.int32)]
+        if with_cofs:
+            corr = jax.ShapeDtypeStruct(
+                (self.P_pad,), jnp.float32,
+                sharding=NamedSharding(self.mesh, P(POINTS)))
+            shapes += [corr, corr]
+        for ns in sorted({ns for _, ns in self._chunk_grid(t_lo, t_hi)}):
+            self.chunk_fn(ns, with_cofs).lower(*shapes).compile()
+
+    def stream(self, tmp, scal, t_lo: int, t_hi: int, cofs=None,
+               progress: Optional[Progress] = None, collected=None):
+        """Stream global forcing rows [t_lo, t_hi) through the kernel with
+        two-deep pipelined dispatch.  ``cofs``: optional (sw_corr, lw_corr)
+        device arrays enabling the decayed-coefficient channels.  Returns
+        (tmp, scal, collected) with collected = [(steps, [k, 6, P] np)]."""
+        collected = collected if collected is not None else []
+        pending = []
+
+        def drain(item):
+            steps, probe = item
+            if steps:
+                collected.append((steps, np.asarray(probe)[:len(steps)]))
+            else:
+                probe.block_until_ready()   # backpressure without output rows
+            if progress:
+                progress.update(self.chunk_t)
+
+        for t0, nsteps_c in self._chunk_grid(t_lo, t_hi):
+            first_hit = -(-t0 // self.os_) * self.os_
+            steps = list(range(first_hit, t0 + nsteps_c, self.os_))
+            fn = self.chunk_fn(nsteps_c, cofs is not None)
+            args = (tmp, scal, np.int32(t0)) + (tuple(cofs) if cofs else ())
+            tmp, scal, rows = fn(*args)
+            pending.append((steps, rows if steps else scal))
+            if len(pending) > 1:
+                drain(pending.pop(0))
+        for item in pending:
+            drain(item)
+        return tmp, scal, collected
+
+    def assemble(self, collected, tmp, scal, wall: float) -> ProductionResult:
+        with self.metrics.phase("output"):
+            rate = self.n_real * self.T / wall
+            self.metrics.count("point_steps_per_s", round(rate, 1))
+            self.metrics.count("points", self.n_real)
+            self.metrics.count("steps", self.T)
+            all_steps = np.concatenate(
+                [np.asarray(s, np.int64) for s, _ in collected]) \
+                if collected else np.zeros(0, np.int64)
+            stacked = (np.concatenate([a for _, a in collected], axis=0)
+                       if collected else
+                       np.zeros((0, 6, self.P_pad), np.float32))
+            order = np.argsort(all_steps)
+            all_steps = all_steps[order]
+            stacked = stacked[order][:, :, :self.n_real]
+            fields = {name: stacked[:, r]
+                      for name, r in OUT_FIELD_ROWS.items()}
+
+            final = ps.unpack_state(
+                np.asarray(tmp), np.asarray(scal), self.grid.nlayers,
+                self.template)
+            final = jax.tree.map(
+                lambda x: jnp.asarray(np.asarray(x)[:self.n_real]), final)
+        return ProductionResult(state=final, out_steps=all_steps,
+                                fields=fields, point_steps_per_s=rate)
+
+
 def run_production(model: Model, expander, pts: PointParams, cal: Calendar,
                    state: State, *, anchors=None, mesh=None,
                    chunk_t: int = 64, out_stride: Optional[int] = None,
@@ -122,7 +384,8 @@ def run_production(model: Model, expander, pts: PointParams, cal: Calendar,
                    inner_chunk_t: int = 8, tile_p: Optional[int] = None,
                    metrics: Optional[RunMetrics] = None,
                    progress: Optional[Progress] = None) -> ProductionResult:
-    """Run the full forecast through the streamed sharded Pallas engine.
+    """Run the full (uncoupled) forecast through the streamed sharded Pallas
+    engine.
 
     pts/state: [P_real] (padded internally to the mesh x LANE multiple; the
     expander must already be built at the padded count).  anchors: the
@@ -130,198 +393,124 @@ def run_production(model: Model, expander, pts: PointParams, cal: Calendar,
     settings.use_relaxation.  Returns outputs at the global ``out_stride``
     cadence (default settings.output_stride).
     """
-    settings, params, cfg, grid = (model.settings, model.params, model.cfg,
-                                   model.grid)
-    T = settings.sim_len
-    mesh = mesh or make_mesh()
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    os_ = int(out_stride or settings.output_stride)
-    metrics = metrics or RunMetrics()
-
-    if cfg.use_depth is False and np.any(np.asarray(pts.out_depth) >= 0.0):
-        raise ValueError(
-            "per-point out_depth is not supported by the fused kernel; use "
-            "the scan engine (runner --engine scan) or set the global "
-            "model.tsurfOutputDepth")
-
-    n_real = int(np.asarray(pts.lat).shape[0])
-    P_pad = padded_points(n_real, mesh)
-    assert expander.num_points == P_pad, (
-        f"expander built for {expander.num_points} points, need {P_pad}")
-    nchunks = -(-T // chunk_t)
-    assert chunk_t % inner_chunk_t == 0, (chunk_t, inner_chunk_t)
-
-    with metrics.phase("setup"):
-        dtype = expander.dtype
-        skyview_active = ((np.asarray(pts.sky_view) < 1.0)
-                          & (np.asarray(pts.sky_view) > -0.01))
-        enable_sky = bool(skyview_active.any())
-
-        shp = NamedSharding(mesh, P(POINTS))
-        sh2 = NamedSharding(mesh, P(POINTS, None))
-        rep = NamedSharding(mesh, P())
-
-        def put_pts(x, spec, dt=None):
-            x = _pad_tail(np.asarray(x), P_pad, axis=0)
-            if dt is not None:
-                x = x.astype(dt)
-            return jax.device_put(x, spec)
-
-        fdt = np.float32 if dtype == jnp.float32 else np.float64
-        pts_dev = PointParams(
-            lat=put_pts(pts.lat, shp, fdt), lon=put_pts(pts.lon, shp, fdt),
-            sky_view=put_pts(pts.sky_view, shp, fdt),
-            horizons=(put_pts(pts.horizons, sh2, fdt) if enable_sky else
-                      jax.device_put(np.zeros((P_pad, 1), fdt), sh2)),
-            init_len=put_pts(pts.init_len, shp, np.int32),
-            tair_relax=put_pts(pts.tair_relax, shp, fdt),
-            vz_relax=put_pts(pts.vz_relax, shp, fdt),
-            rh_relax=put_pts(pts.rh_relax, shp, fdt),
-            coupling_start=put_pts(pts.coupling_start, shp, np.int32),
-            coupling_end=put_pts(pts.coupling_end, shp, np.int32),
-            coupling_tsurf=put_pts(pts.coupling_tsurf, shp, fdt),
-            out_depth=put_pts(pts.out_depth, shp, fdt))
-        obs_dev = pts_dev.coupling_tsurf
-
-        anchors_dev = None
-        if settings.use_relaxation:
-            # anchor series values (X_initEnd, src/Relaxation.f90:10-47) are
-            # per-point scalars gathered host-side once
-            if anchors is None:
-                raise ValueError(
-                    "settings.use_relaxation requires anchors; pass "
-                    "run_production(..., anchors=forcing.relax_anchors(...))")
-            anchors_dev = tuple(
-                jax.device_put(_pad_tail(np.asarray(a, fdt), P_pad), shp)
-                for a in anchors)
-
-        t_pad = nchunks * chunk_t
-        hour_dev = jax.device_put(
-            _pad_tail(np.asarray(cal.hour, np.int32), t_pad), rep)
-        jde_dev = None
-        if enable_sky:
-            jde_dev = jax.device_put(
-                _pad_tail(np.asarray(cal.jde, fdt), t_pad), rep)
-
-        # packed state; padded points marked failed so they freeze at step 0
-        tmp0, scal0 = ps.pack_state(_pad_state(state, P_pad))
-        tmp0 = jax.device_put(np.asarray(tmp0), sh_cols(mesh))
-        scal = np.array(scal0)
-        scal[ps.R_FAILED, n_real:] = 1.0
-        scal0 = jax.device_put(scal, sh_cols(mesh))
-
-    fn_cache = {}
-    # fixed output-row allocation: the max stride hits any chunk can contain
-    # (keeps the jit variant count at <= 2: main + ragged last chunk)
-    k_alloc = (chunk_t - 1) // os_ + 1
-
-    def get_chunk_fn(nsteps: int):
-        """One fused jit per chunk length: expand -> prepare_window -> pack
-        -> sharded whole-scan kernel; the kernel writes exactly the
-        run-level output-stride rows (traced global offset), so each chunk
-        is ONE device dispatch."""
-        key = nsteps
-        if key in fn_cache:
-            return fn_cache[key]
-
-        @jax.jit
-        def chunk_fn(tmp, scal, t0):
-            rawT = expander.raw_window(t0, chunk_t)
-            hr = jax.lax.dynamic_slice_in_dim(hour_dev, t0, chunk_t)
-            jd = (jax.lax.dynamic_slice_in_dim(jde_dev, t0, chunk_t)
-                  if enable_sky else None)
-            prep = prepare_window(
-                rawT, pts_dev, hr, settings, params, t_offset=t0, t_total=T,
-                anchors=anchors_dev, jde=jd, enable_skyview=enable_sky)
-            ones = jnp.ones(prep.tair.shape, jnp.float32)
-            forc = ps.pack_forcing(prep, ones, ones, obs_dev)
-            forc = jax.lax.with_sharding_constraint(
-                forc, NamedSharding(mesh, P(None, None, POINTS)))
-            tmp2, scal2, out = pallas_scan_sharded(
-                tmp, scal, forc, cfg, params, grid, mesh, out_stride=os_,
-                chunk_t=inner_chunk_t, tile_p=tile_p, bl_iters=bl_iters,
-                interpret=interpret, nsteps=nsteps,
-                out_offset=t0, n_out=k_alloc)
-            return tmp2, scal2, out[:, :6]
-
-        fn_cache[key] = chunk_fn
-        return chunk_fn
-
-    last_steps = T - (nchunks - 1) * chunk_t
-    with metrics.phase("compile"):
-        # AOT-compile every chunk variant before the timed stream
-        shapes = (jax.ShapeDtypeStruct(tmp0.shape, tmp0.dtype,
-                                       sharding=tmp0.sharding),
-                  jax.ShapeDtypeStruct(scal0.shape, scal0.dtype,
-                                       sharding=scal0.sharding),
-                  jax.ShapeDtypeStruct((), jnp.int32))
-        for ns in sorted({chunk_t, last_steps}):
-            get_chunk_fn(ns).lower(*shapes).compile()
-
-    tmp, scal = tmp0, scal0
-    pending = []
-    collected = []          # (global_steps list, host array [k, 6, P]) pairs
-
-    def drain(item):
-        steps, probe = item
-        if steps:
-            collected.append((steps, np.asarray(probe)[:len(steps)]))
-        else:
-            probe.block_until_ready()   # backpressure even with no output row
-        if progress:
-            progress.update(chunk_t)
-
-    import os as _os
-    debug = _os.environ.get("ROADSURF_PROD_DEBUG")
-
-    with metrics.phase("stream"):
+    eng = _Engine(model, expander, pts, cal, state, anchors=anchors,
+                  mesh=mesh, chunk_t=chunk_t, out_stride=out_stride,
+                  interpret=interpret, bl_iters=bl_iters,
+                  inner_chunk_t=inner_chunk_t, tile_p=tile_p, metrics=metrics)
+    with eng.metrics.phase("compile"):
+        eng.compile_range(0, eng.T, False)
+    with eng.metrics.phase("stream"):
         t_start = timelib.perf_counter()
-        for k in range(nchunks):
-            t0 = k * chunk_t
-            nsteps_c = min(chunk_t, T - t0)
-            first_hit = -(-t0 // os_) * os_
-            steps = list(range(first_hit, t0 + nsteps_c, os_))
-            td0 = timelib.perf_counter()
-            fn = get_chunk_fn(nsteps_c)
-            td1 = timelib.perf_counter()
-            tmp, scal, rows = fn(tmp, scal, np.int32(t0))
-            td2 = timelib.perf_counter()
-            pending.append((steps, rows if steps else scal))
-            if len(pending) > 1:
-                drain(pending.pop(0))
-            if debug:
-                td3 = timelib.perf_counter()
-                print(f"chunk {k}: compile/lookup {td1-td0:.3f}s "
-                      f"dispatch {td2-td1:.3f}s drain {td3-td2:.3f}s",
-                      file=__import__('sys').stderr)
-        for item in pending:
-            drain(item)
+        tmp, scal, collected = eng.stream(eng.tmp0, eng.scal0, 0, eng.T,
+                                          progress=progress)
         scal.block_until_ready()
         wall = timelib.perf_counter() - t_start
+    return eng.assemble(collected, tmp, scal, wall)
 
-    with metrics.phase("output"):
-        rate = n_real * T / wall
-        metrics.count("point_steps_per_s", round(rate, 1))
-        metrics.count("points", n_real)
-        metrics.count("steps", T)
-        all_steps = np.concatenate(
-            [np.asarray(s, np.int64) for s, _ in collected]) \
-            if collected else np.zeros(0, np.int64)
-        stacked = (np.concatenate([a for _, a in collected], axis=0)
-                   if collected else np.zeros((0, 6, P_pad), np.float32))
-        order = np.argsort(all_steps)
-        all_steps = all_steps[order]
-        stacked = stacked[order][:, :, :n_real]
-        fields = {name: stacked[:, r] for name, r in OUT_FIELD_ROWS.items()}
 
-        final = ps.unpack_state(
-            np.asarray(tmp), np.asarray(scal), grid.nlayers,
-            jax.tree.map(jnp.asarray, state))
-        final = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)[:n_real]),
-                             final)
-    return ProductionResult(state=final, out_steps=all_steps, fields=fields,
-                            point_steps_per_s=rate)
+def run_production_coupled(model: Model, expander, pts: PointParams,
+                           cal: Calendar, state: State, *, anchors=None,
+                           mesh=None, chunk_t: int = 64,
+                           out_stride: Optional[int] = None,
+                           interpret: Optional[bool] = None,
+                           bl_iters: int = 40, inner_chunk_t: int = 8,
+                           tile_p: Optional[int] = None,
+                           metrics: Optional[RunMetrics] = None,
+                           progress: Optional[Progress] = None,
+                           wchunk: Optional[int] = None) -> ProductionResult:
+    """Coupled production run: streamed Pallas phases around the
+    iteration-major coupling window (coupling.run_window_passes).
+
+    Phase split (1-based steps; ws/we_b from the per-point coupling windows):
+      A [1, ws-1]    streamed kernel, coefficients 1
+      B [ws, we_b]   ONE jit: unpack -> window passes (first / re-runs /
+                     tail) -> repack; forcing expanded on device per chunk
+      C [we_b+1, T]  streamed kernel with forcing.cof_window coefficients
+
+    Matches src/Coupling.f90:292-481 semantics via run_window_passes (see
+    tests/test_coupling_segmented.py for the engine-level parity chain).
+    """
+    from .coupling import run_window_passes, window_out_rows
+
+    eng = _Engine(model, expander, pts, cal, state, anchors=anchors,
+                  mesh=mesh, chunk_t=chunk_t, out_stride=out_stride,
+                  interpret=interpret, bl_iters=bl_iters,
+                  inner_chunk_t=inner_chunk_t, tile_p=tile_p, metrics=metrics)
+    settings = eng.settings
+    T, os_ = eng.T, eng.os_
+
+    start_np = np.asarray(pts.coupling_start)
+    end_np = np.asarray(pts.coupling_end)
+    coupled_np = (bool(settings.use_coupling) & (end_np >= 1)
+                  & (np.asarray(pts.coupling_tsurf) > -100.0))
+    have_window = bool(coupled_np.any())
+    if have_window:
+        ws = max(int(start_np[coupled_np].min()), 1)
+        we_b = int(min(end_np[coupled_np].max(), T - 1))
+        have_window = ws <= we_b
+    if not have_window:
+        with eng.metrics.phase("compile"):
+            eng.compile_range(0, T, False)
+        with eng.metrics.phase("stream"):
+            t_start = timelib.perf_counter()
+            tmp, scal, col = eng.stream(eng.tmp0, eng.scal0, 0, T,
+                                        progress=progress)
+            scal.block_until_ready()
+            wall = timelib.perf_counter() - t_start
+        return eng.assemble(col, tmp, scal, wall)
+
+    W = we_b - ws + 1
+    wck = wchunk or min(chunk_t, W)
+    rows_b = window_out_rows(ws, we_b, os_)
+
+    def provider(t0):
+        rawT = expander.raw_window(t0, wck)
+        hr = jax.lax.dynamic_slice_in_dim(eng.hour_dev, t0, wck)
+        jd = (jax.lax.dynamic_slice_in_dim(eng.jde_dev, t0, wck)
+              if eng.enable_sky else None)
+        return prepare_window(rawT, eng.pts_dev, hr, settings, eng.params,
+                              t_offset=t0, t_total=T,
+                              anchors=eng.anchors_dev, jde=jd,
+                              enable_skyview=eng.enable_sky)
+
+    @jax.jit
+    def phase_b(tmp, scal):
+        st = ps.unpack_state(tmp, scal, eng.grid.nlayers, eng.template)
+        vw = [provider(t).valid
+              for t in range(ws - 1, we_b + 1, wck)]
+        valid_win = jnp.concatenate(vw, axis=0)[:W + 1]
+        res = run_window_passes(st, provider, valid_win, ws, we_b,
+                                eng.pts_dev, settings, eng.cfg, eng.grid,
+                                eng.params, out_stride=os_, wchunk=wck)
+        tmp2, scal2 = ps.pack_state(res.state, lpad=tmp.shape[0])
+        cst = lambda x: jax.lax.with_sharding_constraint(x, sh_cols(eng.mesh))
+        return (cst(tmp2), cst(scal2), res.cv.sw_corr, res.cv.lw_corr,
+                jnp.transpose(res.out, (0, 2, 1)).astype(jnp.float32))
+
+    with eng.metrics.phase("compile"):
+        eng.compile_range(0, ws - 1, False)
+        eng.compile_range(we_b, T, True)
+        shapes = (jax.ShapeDtypeStruct(eng.tmp0.shape, eng.tmp0.dtype,
+                                       sharding=eng.tmp0.sharding),
+                  jax.ShapeDtypeStruct(eng.scal0.shape, eng.scal0.dtype,
+                                       sharding=eng.scal0.sharding))
+        phase_b_c = phase_b.lower(*shapes).compile()
+
+    with eng.metrics.phase("stream"):
+        t_start = timelib.perf_counter()
+        tmp, scal, col = eng.stream(eng.tmp0, eng.scal0, 0, ws - 1,
+                                    progress=progress)
+        tmp, scal, sw_corr, lw_corr, out_b = phase_b_c(tmp, scal)
+        if len(rows_b):
+            col.append((list(rows_b), np.asarray(out_b)[:len(rows_b)]))
+        if progress:
+            progress.update(W)
+        tmp, scal, col = eng.stream(tmp, scal, we_b, T,
+                                    cofs=(sw_corr, lw_corr),
+                                    progress=progress, collected=col)
+        scal.block_until_ready()
+        wall = timelib.perf_counter() - t_start
+    return eng.assemble(col, tmp, scal, wall)
 
 
 def sh_cols(mesh):

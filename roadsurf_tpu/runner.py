@@ -57,13 +57,13 @@ def build_times(config: dict, forecast_time: Optional[int], dt: float):
 
 
 def _resolve_engine(engine: str, settings, config) -> str:
-    """'auto' picks the streamed Pallas engine on real TPU hardware for the
-    uncoupled forecast workload; everything else (coupled runs, CPU runs,
-    per-point output depths) uses the XLA scan engine."""
+    """'auto' picks the streamed Pallas engine on real TPU hardware (coupled
+    runs use the segmented production driver); CPU runs and per-point output
+    depths use the XLA scan engine."""
     if engine != "auto":
         return engine
     import jax
-    if jax.default_backend() == "tpu" and not settings.use_coupling:
+    if jax.default_backend() == "tpu":
         return "pallas"
     return "scan"
 
@@ -435,7 +435,12 @@ def run_production_config(config, settings, cal, sim_epochs, now, start, *,
             state0 = restore_state(checkpoint_in, point_ids, state0)
 
     progress = Progress(sim_len) if verbose else None
-    res = production.run_production(
+    use_coupled = bool(settings.use_coupling) and bool(
+        np.any((np.asarray(pts.coupling_end) >= 1)
+               & (np.asarray(pts.coupling_tsurf) > -100.0)))
+    run_fn = (production.run_production_coupled if use_coupled
+              else production.run_production)
+    res = run_fn(
         model, expander, pts, cal, state0, anchors=anchors, mesh=mesh,
         chunk_t=chunk_t, out_stride=out_stride, interpret=interpret,
         metrics=metrics, progress=progress)

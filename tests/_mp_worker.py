@@ -1,0 +1,76 @@
+"""Multi-process distributed worker (spawned by test_distributed.py).
+
+Each process owns 2 virtual CPU devices and ONLY its host_point_range slice
+of the forcing (per-host IO, SURVEY.md section 2.4 P1); make_global assembles
+the global sharded arrays; the same scan runs SPMD across processes.  The
+worker then checks its addressable output shards against a locally-computed
+single-process reference.
+
+Usage: python _mp_worker.py <port> <num_processes> <process_id>
+"""
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+
+def main():
+    port, nproc, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                               num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc, jax.process_count()
+    assert len(jax.devices()) == 2 * nproc
+
+    import numpy as np
+
+    from roadsurf_tpu.config import ModelSettings
+    from roadsurf_tpu.io.synthetic import synthetic_raw
+    from roadsurf_tpu.model import Model
+    from roadsurf_tpu.parallel import distributed as dist
+    from roadsurf_tpu.state import default_point_params
+
+    P_total, T = 64, 49
+    settings = ModelSettings(sim_len=T, dt=30.0)
+    model = Model(settings)
+    # deterministic global dataset; each host SLICES only its own range
+    # (standing in for per-host file reads)
+    raw_full, cal = synthetic_raw(P_total, T, seed=5, scenario="winter_mix")
+    pts_full = default_point_params(P_total)
+    lo, hi = dist.host_point_range(P_total)
+    assert (hi - lo) == P_total // nproc
+    raw_loc = jax.tree.map(lambda a: np.asarray(a)[lo:hi], raw_full)
+    pts_loc = jax.tree.map(lambda a: np.asarray(a)[lo:hi], pts_full)
+
+    mesh = dist.global_points_mesh()
+    raw_g = dist.make_global(raw_loc, mesh, axis=0)
+    pts_g = dist.make_global(pts_loc, mesh, axis=0)
+    final, out = model.run(raw_g, pts_g, cal)
+
+    # reference: this host's slice simulated single-process (host-local)
+    _, out_ref = model.run(raw_loc, pts_loc, cal)
+    ref = np.asarray(out_ref.tsurf)                  # [T, local_P]
+
+    checked = 0
+    for shard in out.tsurf.addressable_shards:
+        sl = shard.index[1]
+        assert lo <= sl.start and sl.stop <= hi, (sl, lo, hi)
+        np.testing.assert_array_equal(
+            np.asarray(shard.data), ref[:, sl.start - lo:sl.stop - lo])
+        checked += sl.stop - sl.start
+    assert checked == hi - lo, (checked, lo, hi)
+
+    # the failure-budget psum reduces over the GLOBAL mesh
+    from roadsurf_tpu.parallel.sharding import failure_stats
+    cnt, ratio = failure_stats(final.failed, mesh)
+    assert int(cnt) == 0 and float(ratio) == 0.0
+
+    print(f"MP_OK {pid} checked={checked}")
+
+
+if __name__ == "__main__":
+    main()

@@ -26,6 +26,43 @@ def test_make_global_sharded():
     np.testing.assert_array_equal(np.asarray(y), x * 3)
 
 
+def test_multiprocess_scan_parity():
+    """SURVEY section 4(c): N local processes, per-host point-range loading,
+    make_array_from_process_local_data assembly, SPMD scan == per-host
+    single-process result (tests/_mp_worker.py)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), "_mp_worker.py")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(worker)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (env.get("PYTHONPATH", "") + os.pathsep + repo
+                         ).lstrip(os.pathsep)
+    nproc = 2
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(port), str(nproc), str(i)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(nproc)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out.decode(errors="replace"))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert f"MP_OK {i}" in out, f"worker {i} output:\n{out}"
+
+
 def test_salt_melt_switches_config():
     from roadsurf_tpu.config import ModelSettings
     s = ModelSettings.from_json({"model": {"force_snow_melting": 1,

@@ -159,3 +159,70 @@ def test_production_rejects_per_point_depth():
     with pytest.raises(ValueError, match="out_depth"):
         production.run_production(model, exp, pts, cal, state0, mesh=mesh,
                                   chunk_t=32, interpret=True)
+
+
+def _coupled_setup(S=5, P=640, T=97, seed=23):
+    settings, model, raw_st, raw_pt, cal, pts, st_idx = _station_setup(
+        S=S, P=P, T=T, seed=seed, use_relaxation=False, skyview=False)
+    import dataclasses
+    settings = dataclasses.replace(settings, use_coupling=True)
+    model = Model(settings)
+    # per-point coupling window [11, 40] with an offset obs target so the
+    # control iterates; every 7th point has no obs (never coupled)
+    rng = np.random.default_rng(seed)
+    obs = np.asarray(raw_pt.tair)[:, 39] - rng.uniform(0.5, 2.5, P)
+    obs[::7] = -9999.9
+    pts = pts._replace(
+        coupling_start=np.full(P, 11, np.int32),
+        coupling_end=np.full(P, 40, np.int32),
+        coupling_tsurf=obs)
+    return settings, model, raw_st, raw_pt, cal, pts, st_idx
+
+
+@pytest.mark.parametrize("out_stride", [1, 6])
+def test_production_coupled_matches_pc(out_stride):
+    settings, model, raw_st, raw_pt, cal, pts, st_idx = _coupled_setup()
+    T = settings.sim_len
+    final_pc, out_pc = model.run_coupled(raw_pt, pts, cal,
+                                         out_stride=out_stride)
+    out_pc = np.asarray(out_pc)                    # [n_out, P, 6] float32
+
+    mesh = make_mesh()
+    p_pad = production.padded_points(len(st_idx), mesh)
+    st_idx_pad = np.pad(st_idx, (0, p_pad - len(st_idx)),
+                        constant_values=-1)
+    exp = production.StationExpander(raw_st, st_idx_pad, mesh, chunk_t=32)
+    state0 = model.init(raw_pt, cal, dtype=jnp.float32, pts=pts)
+    res = production.run_production_coupled(
+        model, exp, pts, cal, state0, mesh=mesh, chunk_t=32,
+        out_stride=out_stride, inner_chunk_t=8, interpret=True)
+
+    want_steps = np.arange(0, T, out_stride)
+    assert np.array_equal(res.out_steps, want_steps)
+    names = ["tsurf", "wat", "snow", "ice", "ice2", "dep"]
+    for fi, name in enumerate(names):
+        np.testing.assert_allclose(
+            res.fields[name], out_pc[:, :, fi], rtol=2e-4, atol=2e-3,
+            err_msg=name)
+    assert np.array_equal(np.asarray(res.state.failed),
+                          np.asarray(final_pc.failed))
+
+
+def test_production_coupled_no_window_falls_back():
+    settings, model, raw_st, raw_pt, cal, pts, st_idx = _coupled_setup()
+    pts = pts._replace(coupling_tsurf=np.full(len(st_idx), -9999.9))
+    mesh = make_mesh()
+    p_pad = production.padded_points(len(st_idx), mesh)
+    exp = production.StationExpander(
+        raw_st, np.pad(st_idx, (0, p_pad - len(st_idx)),
+                       constant_values=-1), mesh, chunk_t=32)
+    state0 = model.init(raw_pt, cal, dtype=jnp.float32, pts=pts)
+    res = production.run_production_coupled(
+        model, exp, pts, cal, state0, mesh=mesh, chunk_t=32,
+        out_stride=6, interpret=True)
+    res_unc = production.run_production(
+        model, exp, pts, cal, state0, mesh=mesh, chunk_t=32,
+        out_stride=6, interpret=True)
+    for name in res.fields:
+        np.testing.assert_array_equal(res.fields[name],
+                                      res_unc.fields[name], err_msg=name)
