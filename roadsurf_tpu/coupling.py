@@ -452,6 +452,7 @@ class WindowResult(NamedTuple):
     cv: "CouplingVars"        #: final coupling vars (sw_corr/lw_corr set)
     out: jnp.ndarray          #: [n_out_b, P, 6] window output rows
     in_coupling: jnp.ndarray  #: [P] flag after the last window step
+    reruns: jnp.ndarray       #: scalar int32: window re-run passes executed
 
 
 def window_out_rows(ws: int, we_b: int, out_stride: int):
@@ -470,8 +471,9 @@ def run_window_passes(state: State, provider, valid_win, ws: int, we_b: int,
     """Execute the global coupling window [ws, we_b] (1-based steps).
 
     ``provider(t0)`` -> Prepared chunk with [wchunk, P] leaves covering
-    global 0-based forcing rows [t0, t0+wchunk) (t0 is a static python int;
-    rows beyond we_b-1 are masked off and may hold arbitrary finite data).
+    global 0-based forcing rows [t0, t0+wchunk) (t0 is a TRACED int32 row
+    offset, always a multiple of wchunk past ws-1 and in-bounds; rows beyond
+    we_b-1 are masked off and may hold arbitrary finite data).
     ``valid_win``: [we_b - ws + 2, P] bool, prep.valid rows ws-1 .. we_b
     (the +1 row feeds the re-run first-step CheckValues quirk).
     ``state``: after step ws-1.  Returns state after step we_b.
@@ -517,151 +519,153 @@ def run_window_passes(state: State, provider, valid_win, ws: int, we_b: int,
     def abnormal(st):
         return (st.tsurf_ave < -100.0) | (st.tsurf_ave > 100.0)
 
-    def make_row_fn(mode, rr=None, valid_first=None):
-        def row_fn(carry, xs):
-            st, cv, snap, choice, out = carry
-            (tair, vz, rhz, rain, snowf, sw, lw, tobs, vld, trf), i = xs
-            i = i.astype(jnp.int32)
-            run = (i >= ws) & (i <= we_b)          # scalar: padded chunk rows
-            entry_ok = ~st.failed
-            in_window = (i >= start_i) & (i <= end_i)
-
-            if mode == "first":
-                mode_mask = jnp.where(coupled, i <= end_i, True)
-            elif mode == "rerun":
-                mode_mask = rr & (i >= start_i) & (i <= end_i)
-            else:                                   # tail
-                mode_mask = coupled & (i > end_i)
-            act = run & mode_mask & entry_ok
-
-            if mode == "first":
-                # saveDataForCoupling + cof reset (src/Coupling.f90:55-64)
-                do_save = act & coupled & (i == start_i) & (cv.iterations == 0)
-                snap = _save(st, snap, do_save)
-                cv = cv._replace(
-                    sw_cof=jnp.where(do_save, 1.0, cv.sw_cof),
-                    lw_cof=jnp.where(do_save, 1.0, cv.lw_cof),
-                    sw_corr=jnp.where(do_save, 0.0, cv.sw_corr),
-                    lw_corr=jnp.where(do_save, 0.0, cv.lw_corr))
-                # cof-choice at restore (src/Coupling.f90:66-77), captured at
-                # the window-start forcing row
-                cap = act & coupled & (i == start_i)
-                choice = jnp.where(cap, (sw > lw) & (~sky_active), choice)
-
-            if mode == "first":
-                in_cpl = act & coupled & in_window
-            elif mode == "rerun":
-                # pre-rewind flag: the first re-run step (i == start_i) ran
-                # with i = end_i + 1 before the rewind -> flag False
-                in_cpl = act & (i > start_i) & (i <= end_i)
-            else:
-                in_cpl = jnp.zeros((P,), bool)
-
-            # CheckValues (+ abnormal tsurf on the body-entry state)
-            vld_step = vld & ~abnormal(st)
-            if mode == "rerun":
-                vld_step = jnp.where(act & (i == start_i), valid_first,
-                                     vld_step)
-
-            if mode != "tail":
-                # snowIceCheck inside the window (src/Coupling.f90:259-289)
-                checked = storage_mod.snow_ice_check(
-                    storage_mod.Storages(st.wat, st.snow, st.ice, st.ice2,
-                                         st.dep), obs, p)
-                st = st._replace(
-                    wat=jnp.where(in_cpl, checked.wat, st.wat),
-                    snow=jnp.where(in_cpl, checked.snow, st.snow),
-                    ice=jnp.where(in_cpl, checked.ice, st.ice),
-                    ice2=jnp.where(in_cpl, checked.ice2, st.ice2),
-                    dep=jnp.where(in_cpl, checked.dep, st.dep))
-
-            if mode == "tail":
-                # post-window decay (src/Coupling.f90:82-88)
-                expo = -(dts * i.astype(dtype)
-                         - dts * end_i.astype(dtype)) / tau
-                dec = jnp.exp(jnp.minimum(expo, 0.0))
-                swc = jnp.where(act, 1.0 + cv.sw_corr * dec, cv.sw_cof)
-                lwc = jnp.where(act, 1.0 + cv.lw_corr * dec, cv.lw_cof)
-            else:
-                swc, lwc = cv.sw_cof, cv.lw_cof
-
-            f = StepForcing(tair=tair, vz=vz, rhz=rhz, rain=rain, snow=snowf,
-                            sw=sw, lw=lw, tsurf_obs=tobs, valid=vld_step,
-                            in_coupling=in_cpl, trf_fric=trf,
-                            sw_cof=swc, lw_cof=lwc)
-            stepped = step(st, f, obs, cfg, dyc, cond_dz, wcont, p,
-                           depth=depth)
-            st_new = jax.tree.map(
-                lambda n, o: jnp.where(
-                    act.reshape(act.shape + (1,) * (n.ndim - act.ndim)),
-                    n, o), stepped, st)
-
-            # SaveOutput row (overwritten by later re-runs where active)
-            on = ((i - 1) % out_stride) == 0
-            slot = jnp.clip((i - 1 - first_hit) // out_stride, 0, n_out_b - 1)
-            fields = jnp.stack(
-                [st_new.tsurf_ave, st_new.wat, st_new.snow, st_new.ice,
-                 st_new.ice2, st_new.dep], axis=-1)
-            fields = jnp.where(st.failed[..., None], -9999.0, fields)
-            row_old = jax.lax.dynamic_slice_in_dim(out, slot, 1, axis=0)[0]
-            merged = jnp.where((act & on)[..., None], fields, row_old)
-            out = jax.lax.dynamic_update_slice_in_dim(
-                out, merged[None], slot, axis=0)
-
-            if mode != "tail":
-                # CheckEndCoupling (src/Coupling.f90:98-118)
-                do_ctl = (act & coupled & (i == end_i) & (~cv.failed)
-                          & (~st_new.failed))
-                cv = coupling_control(st_new.tsurf_ave, obs, cv, do_ctl)
-
-            return (st_new, cv, snap, choice, out), None
-        return row_fn
-
-    def scan_pass(carry, mode, rr=None, valid_first=None):
-        row_fn = make_row_fn(mode, rr=rr, valid_first=valid_first)
-        for k in range(nchunks):
-            t0 = ws - 1 + k * wchunk
-            prep_c = provider(t0)
-            trf = jnp.broadcast_to(
-                jnp.asarray(prep_c.trf_fric, dtype)[:, None], (wchunk, P))
-            xs = ((prep_c.tair, prep_c.vz, prep_c.rhz, prep_c.rain,
-                   prep_c.snow, prep_c.sw, prep_c.lw, prep_c.tsurf_obs,
-                   prep_c.valid, trf),
-                  t0 + 1 + jnp.arange(wchunk, dtype=jnp.int32))
-            carry, _ = jax.lax.scan(row_fn, carry, xs)
-        return carry
-
-    carry = scan_pass((state, cv, snap0, choice0, out0), "first")
+    pr = jnp.arange(P)
+    vrow_idx = jnp.clip(end_i - (ws - 1), 0, valid_win.shape[0] - 1)
 
     def rr_mask(st, cv):
         # a point whose window ends at step T-1 never rewinds: the rewind
         # fires at i = end_i + 1, and the PC loop stops at i < T
         return cv.again & coupled & (end_i + 1 < T) & (~st.failed)
 
-    pr = jnp.arange(P)
-    vrow_idx = jnp.clip(end_i - (ws - 1), 0, valid_win.shape[0] - 1)
+    # Pass modes carried as a TRACED scalar so the whole phase is ONE
+    # lax.while_loop with ONE instance of the step graph (three structural
+    # variants would triple the HLO and overflow remote-compile limits).
+    M_FIRST, M_RERUN, M_TAIL, M_DONE = 0, 1, 2, 3
 
-    def while_body(carry):
-        st, cv, snap, choice, out = carry
-        rr = rr_mask(st, cv)
-        # CheckValues of the pre-rewind row end_i on the PRE-restore state
-        valid_first = valid_win[vrow_idx, pr] & ~abnormal(st)
-        st = _restore(st, snap, rr)
+    def row_fn(carry, xs):
+        st, cv, snap, choice, out, mode, rr, vf = carry
+        (tair, vz, rhz, rain, snowf, sw, lw, tobs, vld, trf), i = xs
+        i = i.astype(jnp.int32)
+        is_first = mode == M_FIRST
+        is_rerun = mode == M_RERUN
+        is_tail = mode == M_TAIL
+        run = (i >= ws) & (i <= we_b)          # scalar: padded chunk rows
+        entry_ok = ~st.failed
+        in_window = (i >= start_i) & (i <= end_i)
+
+        mode_mask = jnp.where(
+            is_first, jnp.where(coupled, i <= end_i, True),
+            jnp.where(is_rerun, rr & in_window, coupled & (i > end_i)))
+        act = run & mode_mask & entry_ok
+
+        # saveDataForCoupling + cof reset, first pass only
+        # (src/Coupling.f90:55-64); the cof-choice input
+        # (src/Coupling.f90:66-77) is captured at the window-start row
+        at_start = act & coupled & (i == start_i)
+        do_save = is_first & at_start & (cv.iterations == 0)
+        snap = _save(st, snap, do_save)
         cv = cv._replace(
-            again=cv.again & ~rr,
-            sw_cof=jnp.where(rr, jnp.where(choice, cv.radcoeff, 1.0),
-                             cv.sw_cof),
-            lw_cof=jnp.where(rr, jnp.where(choice, 1.0, cv.radcoeff),
-                             cv.lw_cof))
-        return scan_pass((st, cv, snap, choice, out), "rerun", rr=rr,
-                         valid_first=valid_first)
+            sw_cof=jnp.where(do_save, 1.0, cv.sw_cof),
+            lw_cof=jnp.where(do_save, 1.0, cv.lw_cof),
+            sw_corr=jnp.where(do_save, 0.0, cv.sw_corr),
+            lw_corr=jnp.where(do_save, 0.0, cv.lw_corr))
+        choice = jnp.where(is_first & at_start,
+                           (sw > lw) & (~sky_active), choice)
 
-    carry = jax.lax.while_loop(
-        lambda c: jnp.any(rr_mask(c[0], c[1])), while_body, carry)
-    st, cv, snap, choice, out = scan_pass(carry, "tail")
+        # pre-rewind flag: the first re-run step (i == start_i) ran with
+        # i = end_i + 1 before the rewind -> flag False
+        in_cpl = act & jnp.where(
+            is_first, coupled & in_window,
+            is_rerun & (i > start_i) & (i <= end_i))
+
+        # CheckValues (+ abnormal tsurf on the body-entry state); the first
+        # re-run step uses the pre-rewind row end_i (vf, set at pass entry)
+        vld_step = vld & ~abnormal(st)
+        vld_step = jnp.where(is_rerun & act & (i == start_i), vf, vld_step)
+
+        # snowIceCheck inside the window (src/Coupling.f90:259-289)
+        checked = storage_mod.snow_ice_check(
+            storage_mod.Storages(st.wat, st.snow, st.ice, st.ice2, st.dep),
+            obs, p)
+        st = st._replace(
+            wat=jnp.where(in_cpl, checked.wat, st.wat),
+            snow=jnp.where(in_cpl, checked.snow, st.snow),
+            ice=jnp.where(in_cpl, checked.ice, st.ice),
+            ice2=jnp.where(in_cpl, checked.ice2, st.ice2),
+            dep=jnp.where(in_cpl, checked.dep, st.dep))
+
+        # post-window decay, tail pass only (src/Coupling.f90:82-88)
+        expo = -(dts * i.astype(dtype) - dts * end_i.astype(dtype)) / tau
+        dec = jnp.exp(jnp.minimum(expo, 0.0))
+        tail_act = is_tail & act
+        swc = jnp.where(tail_act, 1.0 + cv.sw_corr * dec, cv.sw_cof)
+        lwc = jnp.where(tail_act, 1.0 + cv.lw_corr * dec, cv.lw_cof)
+
+        f = StepForcing(tair=tair, vz=vz, rhz=rhz, rain=rain, snow=snowf,
+                        sw=sw, lw=lw, tsurf_obs=tobs, valid=vld_step,
+                        in_coupling=in_cpl, trf_fric=trf,
+                        sw_cof=swc, lw_cof=lwc)
+        stepped = step(st, f, obs, cfg, dyc, cond_dz, wcont, p, depth=depth)
+        st_new = jax.tree.map(
+            lambda n, o: jnp.where(
+                act.reshape(act.shape + (1,) * (n.ndim - act.ndim)),
+                n, o), stepped, st)
+
+        # SaveOutput row (overwritten by later re-runs where active)
+        on = ((i - 1) % out_stride) == 0
+        slot = jnp.clip((i - 1 - first_hit) // out_stride, 0, n_out_b - 1)
+        fields = jnp.stack(
+            [st_new.tsurf_ave, st_new.wat, st_new.snow, st_new.ice,
+             st_new.ice2, st_new.dep], axis=-1)
+        fields = jnp.where(st.failed[..., None], -9999.0, fields)
+        row_old = jax.lax.dynamic_slice_in_dim(out, slot, 1, axis=0)[0]
+        merged = jnp.where((act & on)[..., None], fields, row_old)
+        out = jax.lax.dynamic_update_slice_in_dim(
+            out, merged[None], slot, axis=0)
+
+        # CheckEndCoupling (src/Coupling.f90:98-118), never in the tail
+        do_ctl = ((~is_tail) & act & coupled & (i == end_i) & (~cv.failed)
+                  & (~st_new.failed))
+        cv = coupling_control(st_new.tsurf_ave, obs, cv, do_ctl)
+
+        return (st_new, cv, snap, choice, out, mode, rr, vf), None
+
+    def chunk_body(c, t0):
+        prep_c = provider(t0)
+        trf = jnp.broadcast_to(
+            jnp.asarray(prep_c.trf_fric, dtype)[:, None], (wchunk, P))
+        xs = ((prep_c.tair, prep_c.vz, prep_c.rhz, prep_c.rain,
+               prep_c.snow, prep_c.sw, prep_c.lw, prep_c.tsurf_obs,
+               prep_c.valid, trf),
+              t0 + 1 + jnp.arange(wchunk, dtype=jnp.int32))
+        c, _ = jax.lax.scan(row_fn, c, xs)
+        return c, None
+
+    t0s = ws - 1 + wchunk * jnp.arange(nchunks, dtype=jnp.int32)
+
+    def pass_body(carry_n):
+        carry, n = carry_n
+        carry, _ = jax.lax.scan(chunk_body, carry, t0s)
+        st, cv, snap, choice, out, mode, rr, vf = carry
+        # transition: enter (another) re-run round while any point's control
+        # asked to rewind, else run the tail exactly once, then stop
+        rr2 = rr_mask(st, cv)
+        enter_rerun = (mode <= M_RERUN) & jnp.any(rr2)
+        next_mode = jnp.where(mode == M_TAIL, M_DONE,
+                              jnp.where(enter_rerun, M_RERUN, M_TAIL))
+        do_r = rr2 & enter_rerun
+        # CheckValues of the pre-rewind row end_i on the PRE-restore state
+        vf2 = valid_win[vrow_idx, pr] & ~abnormal(st)
+        st = _restore(st, snap, do_r)
+        cv = cv._replace(
+            again=cv.again & ~do_r,
+            sw_cof=jnp.where(do_r, jnp.where(choice, cv.radcoeff, 1.0),
+                             cv.sw_cof),
+            lw_cof=jnp.where(do_r, jnp.where(choice, 1.0, cv.radcoeff),
+                             cv.lw_cof))
+        vf = jnp.where(enter_rerun, vf2, vf)
+        return ((st, cv, snap, choice, out, next_mode.astype(jnp.int32),
+                 do_r, vf), n + enter_rerun.astype(jnp.int32))
+
+    carry0 = ((state, cv, snap0, choice0, out0, jnp.int32(M_FIRST),
+               jnp.zeros((P,), bool), jnp.zeros((P,), bool)), jnp.int32(0))
+    (carry, nreruns) = jax.lax.while_loop(
+        lambda cn: cn[0][5] < M_DONE, pass_body, carry0)
+    st, cv, snap, choice, out = carry[:5]
 
     in_cpl_last = coupled & (we_b >= start_i) & (we_b <= end_i)
-    return WindowResult(state=st, cv=cv, out=out, in_coupling=in_cpl_last)
+    return WindowResult(state=st, cv=cv, out=out, in_coupling=in_cpl_last,
+                        reruns=nreruns)
 
 
 def run_coupled_segmented(state: State, prep: Prepared, pts: PointParams,
@@ -741,7 +745,8 @@ def run_coupled_segmented(state: State, prep: Prepared, pts: PointParams,
             + ([jnp.repeat(a[we_b - 1:we_b], ws - 1 + W_pad - T, axis=0)]
                if ws - 1 + W_pad > T else []), axis=0), prep)
     provider = lambda t0: jax.tree.map(
-        lambda a: a[t0 - (ws - 1): t0 - (ws - 1) + wck], wprep)
+        lambda a: jax.lax.dynamic_slice_in_dim(a, t0 - (ws - 1), wck,
+                                               axis=0), wprep)
     valid_win = prep.valid[ws - 1: we_b + 1]
 
     res = run_window_passes(state, provider, valid_win, ws, we_b, pts,

@@ -122,6 +122,23 @@ def nearest_station_index(st_lats, st_lons, lats, lons,
     st_lons = np.asarray(st_lons, np.float64)
     lats = np.asarray(lats, np.float64)
     lons = np.asarray(lons, np.float64)
+    if len(st_lats) == 0 or len(lats) == 0:
+        return np.full(len(lats), -1, np.int64)
+    try:
+        from scipy.spatial import cKDTree
+    except ImportError:
+        cKDTree = None
+    if cKDTree is not None and len(st_lats) >= 8:
+        # nearest by 3D chord distance == nearest great-circle (monotonic);
+        # the radius check stays in haversine km for exact threshold parity
+        def unit(lat, lon):
+            la, lo = np.radians(lat), np.radians(lon)
+            cl = np.cos(la)
+            return np.stack([cl * np.cos(lo), cl * np.sin(lo),
+                             np.sin(la)], axis=1)
+        _, idx = cKDTree(unit(st_lats, st_lons)).query(unit(lats, lons))
+        d = haversine_km(lats, lons, st_lats[idx], st_lons[idx])
+        return np.where(d <= max_radius_km, idx, -1).astype(np.int64)
     # blocked over points to bound the [Pb, S] distance matrix at large P
     out = np.empty(len(lats), np.int64)
     blk = max(1, min(len(lats), 2_000_000 // max(len(st_lats), 1)))

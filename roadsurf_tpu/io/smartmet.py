@@ -130,18 +130,19 @@ class SmartMetSource(Source):
                 v = row.get(fname)
                 st["vals"][vname].append(
                     float(v) if v is not None and v != "" else MISSING)
-        out = []
+        series = []
         for sid in order:
             st = stations[sid]
             t = np.asarray(st["times"], np.int64)
             ordr = np.argsort(t, kind="stable")
-            vals = {k: np.asarray(v, np.float64)[ordr]
-                    for k, v in st["vals"].items()}
-            interp = interpolate_series(t[ordr], sim_times, vals)
-            full = {k: interp.get(k, np.full(len(sim_times), MISSING))
-                    for k in VAR_NAMES}
-            out.append(StationData(sid, st["lat"], st["lon"], full))
-        return out
+            series.append((t[ordr],
+                           {k: np.asarray(v, np.float64)[ordr]
+                            for k, v in st["vals"].items()}))
+        from .sources import batch_interpolate_stations
+        interped = batch_interpolate_stations(series, np.asarray(sim_times))
+        return [StationData(sid, stations[sid]["lat"], stations[sid]["lon"],
+                            full)
+                for sid, full in zip(order, interped)]
 
     def stations(self):
         return self._stations

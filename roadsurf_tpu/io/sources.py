@@ -52,11 +52,20 @@ def parse_time(s: str, fmt: str = "%Y-%m-%d %H:%M") -> int:
 
 def read_json_tolerant(path: str):
     """read_json with comment tolerance (examples/example1/src/JsonTools.cpp):
-    strips // line comments (outside string literals)."""
+    strips // line comments (outside string literals).
+
+    Data files are usually comment-free and can be huge (the production
+    station files run to hundreds of MB), so the char-level scanner only
+    runs on the lines that actually contain ``//``."""
     with open(path) as f:
         text = f.read()
+    if "//" not in text:
+        return jsonlib.loads(text)
     out_lines = []
     for line in text.splitlines():
+        if "//" not in line:
+            out_lines.append(line)
+            continue
         in_str = False
         i = 0
         while i < len(line):
@@ -72,6 +81,57 @@ def read_json_tolerant(path: str):
             i += 1
         out_lines.append(line)
     return jsonlib.loads("\n".join(out_lines))
+
+
+def batch_interpolate_stations(series, sim_times: np.ndarray):
+    """Interpolate many stations' raw series to the simulation grid in one
+    native multithreaded call (native/roadsurf_native.cpp
+    rs_interpolate_columns; the JsonSource.cpp:49-176 hot path batched over
+    stations), with a transparent numpy fallback.
+
+    series: list of (raw_times [R_i] int64, {name: [R_i] float}); returns a
+    list of {name: [S]} dicts covering every VAR_NAMES entry.
+    """
+    from . import native
+
+    S = len(sim_times)
+    empty = lambda: {k: np.full(S, MISSING) for k in VAR_NAMES}
+    lib = native.load()
+    if lib is None or not series:
+        out = []
+        for t, vals in series:
+            if not len(t):
+                out.append(empty())
+                continue
+            interp = interpolate_series(t, sim_times, vals)
+            out.append({k: interp.get(k, np.full(S, MISSING))
+                        for k in VAR_NAMES})
+        return out
+
+    nst = len(series)
+    offsets = np.zeros(nst + 1, np.int64)
+    for i, (t, _) in enumerate(series):
+        offsets[i + 1] = offsets[i] + len(t)
+    total = int(offsets[-1])
+    raw_times = (np.concatenate([np.asarray(t, np.int64)
+                                 for t, _ in series])
+                 if total else np.zeros(0, np.int64))
+    V = len(VAR_NAMES)
+    values = np.full((V, total), MISSING)
+    for i, (t, vals) in enumerate(series):
+        sl = slice(int(offsets[i]), int(offsets[i + 1]))
+        for vi, name in enumerate(VAR_NAMES):
+            arr = vals.get(name)
+            if arr is not None:
+                values[vi, sl] = arr
+    miss = np.array([-1000.0 if n == "lw_net" else -100.0
+                     for n in VAR_NAMES])
+    nn = np.array([1 if n == "prec_phase" else 0 for n in VAR_NAMES],
+                  np.int32)
+    res = native.interpolate_columns(offsets, raw_times, sim_times, values,
+                                     miss, nn)
+    return [{name: res[i, vi] for vi, name in enumerate(VAR_NAMES)}
+            for i in range(nst)]
 
 
 @dataclasses.dataclass
@@ -99,8 +159,8 @@ class JsonSource(Source):
     def __init__(self, path: str, sim_times: np.ndarray,
                  is_observation: bool = False, data=None):
         self.is_observation = is_observation
-        self._stations: List[StationData] = []
         doc = data if data is not None else read_json_tolerant(path)
+        series, meta = [], []
         for st in doc:
             times = np.array([parse_time(t) for t in st.get("time", [])],
                              np.int64)
@@ -124,15 +184,13 @@ class JsonSource(Source):
                 if need_rh.any():
                     vals["rhz"] = np.where(
                         need_rh, np.asarray(rh_from_tdew(tair, td)), rh)
-                interp = interpolate_series(times, sim_times, vals)
-            else:
-                interp = {k: np.full(len(sim_times), MISSING)
-                          for k in VAR_NAMES}
-            self._stations.append(StationData(
-                point_id=int(st.get("statId", 0)),
-                lat=float(st.get("lat", MISSING)),
-                lon=float(st.get("lon", MISSING)),
-                values=interp))
+            series.append((times, vals))
+            meta.append((int(st.get("statId", 0)),
+                         float(st.get("lat", MISSING)),
+                         float(st.get("lon", MISSING))))
+        interped = batch_interpolate_stations(series, sim_times)
+        self._stations = [StationData(pid, lat, lon, values)
+                          for (pid, lat, lon), values in zip(meta, interped)]
 
     def stations(self):
         return self._stations

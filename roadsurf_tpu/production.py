@@ -476,16 +476,18 @@ def run_production_coupled(model: Model, expander, pts: PointParams,
     @jax.jit
     def phase_b(tmp, scal):
         st = ps.unpack_state(tmp, scal, eng.grid.nlayers, eng.template)
-        vw = [provider(t).valid
-              for t in range(ws - 1, we_b + 1, wck)]
-        valid_win = jnp.concatenate(vw, axis=0)[:W + 1]
+        nv = -(-(W + 1) // wck)
+        t0s = ws - 1 + wck * jnp.arange(nv, dtype=jnp.int32)
+        vw = jax.lax.map(lambda t0: provider(t0).valid, t0s)
+        valid_win = vw.reshape(-1, vw.shape[-1])[:W + 1]
         res = run_window_passes(st, provider, valid_win, ws, we_b,
                                 eng.pts_dev, settings, eng.cfg, eng.grid,
                                 eng.params, out_stride=os_, wchunk=wck)
         tmp2, scal2 = ps.pack_state(res.state, lpad=tmp.shape[0])
         cst = lambda x: jax.lax.with_sharding_constraint(x, sh_cols(eng.mesh))
         return (cst(tmp2), cst(scal2), res.cv.sw_corr, res.cv.lw_corr,
-                jnp.transpose(res.out, (0, 2, 1)).astype(jnp.float32))
+                jnp.transpose(res.out, (0, 2, 1)).astype(jnp.float32),
+                res.reruns)
 
     with eng.metrics.phase("compile"):
         eng.compile_range(0, ws - 1, False)
@@ -500,7 +502,7 @@ def run_production_coupled(model: Model, expander, pts: PointParams,
         t_start = timelib.perf_counter()
         tmp, scal, col = eng.stream(eng.tmp0, eng.scal0, 0, ws - 1,
                                     progress=progress)
-        tmp, scal, sw_corr, lw_corr, out_b = phase_b_c(tmp, scal)
+        tmp, scal, sw_corr, lw_corr, out_b, reruns = phase_b_c(tmp, scal)
         if len(rows_b):
             col.append((list(rows_b), np.asarray(out_b)[:len(rows_b)]))
         if progress:
@@ -510,6 +512,8 @@ def run_production_coupled(model: Model, expander, pts: PointParams,
                                     progress=progress, collected=col)
         scal.block_until_ready()
         wall = timelib.perf_counter() - t_start
+    eng.metrics.count("coupling_window_steps", W)
+    eng.metrics.count("coupling_reruns", int(reruns))
     return eng.assemble(col, tmp, scal, wall)
 
 

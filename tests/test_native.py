@@ -72,3 +72,45 @@ def test_parse_ascii_skips_garbage():
     text = b"not a data line\n19 12 02 00 -1 80 3 0 3 0 290 -2\n"
     epochs, vals = native.parse_ascii_obs(text)
     assert len(epochs) == 1
+
+
+def test_batch_interpolate_stations_matches_fallback():
+    """The JsonSource/SmartMetSource wiring: native batched call ==
+    per-station numpy fallback, incl. empty stations and absent variables."""
+    from roadsurf_tpu.io import sources as S
+
+    rng = np.random.default_rng(3)
+    sim_times = np.arange(0, 7200, 300, dtype=np.int64)
+    series = []
+    for s in range(9):
+        if s == 4:
+            series.append((np.zeros(0, np.int64), {}))     # empty station
+            continue
+        n = int(rng.integers(3, 12))
+        t = np.sort(rng.choice(np.arange(0, 9000, 60), size=n,
+                               replace=False)).astype(np.int64)
+        vals = {"tair": rng.normal(0, 5, n),
+                "rhz": rng.uniform(40, 100, n),
+                "prec_phase": rng.integers(0, 7, n).astype(np.float64)}
+        if s % 2:
+            vals["lw_net"] = rng.normal(-500, 100, n)      # only some have it
+        vals["tair"][rng.random(n) < 0.3] = MISSING
+        series.append((t, vals))
+
+    got = S.batch_interpolate_stations(series, sim_times)
+
+    import roadsurf_tpu.io.native as nat
+    saved = nat._lib
+    nat._lib = None
+    import os
+    lp = nat._LIB_PATH
+    nat._LIB_PATH = "/nonexistent.so"
+    try:
+        ref = S.batch_interpolate_stations(series, sim_times)
+    finally:
+        nat._lib, nat._LIB_PATH = saved, lp
+    assert len(got) == len(ref) == 9
+    for g, r in zip(got, ref):
+        assert set(g) == set(S.VAR_NAMES)
+        for k in S.VAR_NAMES:
+            np.testing.assert_allclose(g[k], r[k], rtol=1e-12, err_msg=k)

@@ -1,0 +1,133 @@
+"""Coupled-mode production benchmark on the real TPU (round-1 review item 2).
+
+Measures run_production_coupled at operational scale: the streamed Pallas
+kernel carries phases A/C while the coupling window (src/Coupling.f90) runs
+as the iteration-major masked-scan engine in one device dispatch.  Scenarios:
+
+  typical  obs offset ~1 K from the free trajectory -> secant converges in a
+           few window re-runs (the operational case)
+  worst    obs offset -30 K, unreachable -> every coupled point burns the
+           full 25-iteration budget (Coupling.f90:318-330 failure path)
+
+Prints one JSON line per scenario:
+  {"scenario", "points", "steps", "window_steps", "reruns",
+   "point_steps_per_s", "wall_s", "uncoupled_point_steps_per_s",
+   "coupled_overhead_pct"}
+
+Usage: python tools/bench_coupled.py [--points 262144] [--steps 8881]
+         [--stations 2048] [--window-steps 360] [--scenario typical|worst|both]
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--points", type=int, default=262144)
+    ap.add_argument("--steps", type=int, default=8881)
+    ap.add_argument("--stations", type=int, default=2048)
+    ap.add_argument("--window-steps", type=int, default=360)
+    ap.add_argument("--end-step", type=int, default=None,
+                    help="1-based coupling end step (default: 24h analysis)")
+    ap.add_argument("--scenario",
+                    choices=("typical", "hard", "worst", "both"),
+                    default="both")
+    ap.add_argument("--chunk-t", type=int, default=64)
+    ap.add_argument("--repeat", type=int, default=2)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from roadsurf_tpu import production
+    from roadsurf_tpu.config import ModelSettings
+    from roadsurf_tpu.io.synthetic import synthetic_raw
+    from roadsurf_tpu.model import Model
+    from roadsurf_tpu.observability import RunMetrics
+    from roadsurf_tpu.parallel.sharding import make_mesh
+    from roadsurf_tpu.state import default_point_params
+
+    P, T, S = args.points, args.steps, args.stations
+    dt = 30.0
+    end_i = args.end_step or (1 + int(24 * 3600 / dt))   # 24h analysis end
+    start_i = max(1, end_i - args.window_steps + 1)
+    settings = ModelSettings(sim_len=T, dt=dt, use_coupling=True,
+                             output_step_minutes=60)
+    model = Model(settings)
+
+    rng = np.random.default_rng(7)
+    raw_st, cal = synthetic_raw(S, T, dt=dt, seed=7, scenario="winter_mix",
+                                dtype=np.float32)
+    st_idx = rng.integers(0, S, size=P)
+
+    mesh = make_mesh()
+    p_pad = production.padded_points(P, mesh)
+    st_idx_pad = np.pad(st_idx, (0, p_pad - P), constant_values=-1)
+    expander = production.StationExpander(raw_st, st_idx_pad, mesh,
+                                          chunk_t=args.chunk_t)
+
+    # per-point params; obs target near the station tair at the window end
+    tair_end = np.asarray(raw_st.tair)[st_idx, end_i - 1]
+    base_pts = default_point_params(P)
+
+    def pts_for(offset):
+        return base_pts._replace(
+            lat=58.0 + rng.uniform(0, 6, P), lon=20.0 + rng.uniform(0, 10, P),
+            coupling_start=np.full(P, start_i, np.int32),
+            coupling_end=np.full(P, end_i, np.int32),
+            coupling_tsurf=(tair_end + offset).astype(np.float64))
+
+    def first(name):
+        v = np.asarray(getattr(raw_st, name))[st_idx, 0]
+        return v.astype(np.float32)
+
+    from roadsurf_tpu.state import init_state
+    date0 = (int(cal.year[0]), int(cal.month[0]), int(cal.day[0]))
+    state0 = jax.jit(lambda t0, v0, r0, o0: init_state(
+        settings, model.params, model.grid, t0, v0, r0, o0, date0,
+        depth_idx=model.cfg.depth_idx, depth_w=model.cfg.depth_w,
+        use_depth=model.cfg.use_depth, dtype=jnp.float32))(
+            first("tair"), first("vz"), first("rhz"), first("tsurf_obs"))
+
+    def run(fn, pts, label):
+        best = None
+        reruns = 0
+        for r in range(args.repeat):
+            m = RunMetrics()
+            res = fn(model, expander, pts, cal, state0, mesh=mesh,
+                     chunk_t=args.chunk_t, metrics=m)
+            reruns = m.counters.get("coupling_reruns", 0)
+            if best is None or res.point_steps_per_s > best:
+                best = res.point_steps_per_s
+            print(f"  {label} run {r}: {res.point_steps_per_s/1e6:.1f} M "
+                  f"pt-steps/s (reruns={reruns})", file=sys.stderr)
+        return best, reruns
+
+    # uncoupled baseline at the same shape
+    unc_rate, _ = run(production.run_production, pts_for(0.0)._replace(
+        coupling_tsurf=np.full(P, -9999.9)), "uncoupled")
+
+    scenarios = {"typical": -1.5, "hard": 8.0, "worst": -30.0}
+    if args.scenario != "both":
+        scenarios = {args.scenario: scenarios[args.scenario]}
+    for name, offset in scenarios.items():
+        rate, reruns = run(production.run_production_coupled,
+                           pts_for(offset), name)
+        print(json.dumps({
+            "scenario": name, "points": P, "steps": T,
+            "window_steps": end_i - start_i + 1, "reruns": int(reruns),
+            "point_steps_per_s": round(rate, 1),
+            "wall_s": round(P * T / rate, 3),
+            "uncoupled_point_steps_per_s": round(unc_rate, 1),
+            "coupled_overhead_pct": round(100.0 * (unc_rate / rate - 1.0),
+                                          1)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""Host data-plane ingest benchmark (round-1 review item 4).
+
+Measures the file-backed stations -> RawForcing path that feeds the
+production engine, at operational scale:
+
+  parse+interp   example1 JSON parse + native batched interpolation to the
+                 simulation grid (native/roadsurf_native.cpp, the
+                 JsonSource.cpp:49-176 hot path) + overlay merge
+  point mapping  nearest-station index for the full point grid
+                 (RoadSurfSource.cpp:516-616 NearTree radius pattern)
+
+The on-device expansion + prepare throughput is covered separately by
+bench_production.py (it is fused into the kernel chunk dispatch).
+
+Prints one JSON line:
+  {"stations", "sim_len", "points", "parse_interp_s", "mapping_s",
+   "station_values_per_s", "points_per_s"}
+
+Usage: python tools/bench_ingest.py [--stations 2048] [--points 1048576]
+"""
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stations", type=int, default=2048)
+    ap.add_argument("--points", type=int, default=1048576)
+    ap.add_argument("--analysis", type=int, default=48)
+    ap.add_argument("--forecast", type=int, default=26)
+    ap.add_argument("--outdir", default=None)
+    args = ap.parse_args(argv)
+
+    import importlib.util
+    here = os.path.dirname(os.path.abspath(__file__))
+    spec = importlib.util.spec_from_file_location(
+        "gen_production", os.path.join(here, "gen_production.py"))
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+
+    outdir = args.outdir or tempfile.mkdtemp(prefix="rs_ingest_")
+    ny = int(round(args.points ** 0.5))
+    nx = -(-args.points // ny)
+    gen.main(["--outdir", outdir, "--stations", str(args.stations),
+              "--ny", str(ny), "--nx", str(nx),
+              "--analysis", str(args.analysis),
+              "--forecast", str(args.forecast)])
+
+    from roadsurf_tpu.config import ModelSettings
+    from roadsurf_tpu.io.sources import DataHandler, read_json_tolerant
+    from roadsurf_tpu.io import native
+    from roadsurf_tpu.runner import build_times
+
+    native.load(build_if_missing=True)
+    config = read_json_tolerant(os.path.join(outdir, "config.json"))
+    settings0 = ModelSettings.from_json(config)
+    from roadsurf_tpu.runner import parse_forecast_time
+    now = parse_forecast_time(config["time"]["now"]) \
+        if config.get("time", {}).get("now") else None
+    start, now, sim_len = build_times(config, now, settings0.dt)
+    sim_epochs = start + (np.arange(sim_len)
+                          * settings0.dt).astype(np.int64)
+
+    t0 = time.perf_counter()
+    handler = DataHandler.from_config(config, sim_epochs)
+    raw_st, obs_tair = handler.merged(sim_len)
+    t1 = time.perf_counter()
+    parse_interp_s = t1 - t0
+    S = len(handler.point_ids())
+    assert np.asarray(raw_st.tair).shape == (S, sim_len)
+
+    # full-grid nearest-station mapping
+    from roadsurf_tpu.io.points import nearest_station_index, parse_points_full
+    pset = parse_points_full(config)
+    locs = handler.locations()
+    st_lats = np.array([l[0] for l in locs])
+    st_lons = np.array([l[1] for l in locs])
+    t2 = time.perf_counter()
+    st_idx = nearest_station_index(st_lats, st_lons, pset.lats, pset.lons,
+                                   50.0)
+    t3 = time.perf_counter()
+    P = len(pset.lats)
+
+    print(json.dumps({
+        "stations": S, "sim_len": sim_len, "points": P,
+        "parse_interp_s": round(parse_interp_s, 3),
+        "mapping_s": round(t3 - t2, 3),
+        "station_values_per_s": round(S * sim_len * 11 / parse_interp_s, 1),
+        "points_per_s": round(P / (t3 - t2), 1),
+        "native": native.load() is not None}))
+
+
+if __name__ == "__main__":
+    main()
