@@ -105,17 +105,27 @@ class StationExpander:
             np.where(ok, st_idx, 0).astype(np.int32), shp)
         self.dtype = dtype
 
+    @staticmethod
+    def window_from(channels: RawForcing, ok, st_idx, t0, tc: int
+                    ) -> RawForcing:
+        """[Tc, P] raw forcing for global steps [t0, t0+tc) from explicit
+        arrays.  channels/ok/st_idx MUST be traced jit arguments, never
+        closures -- closed-over arrays are baked into the HLO as constants,
+        and at production station counts that overflows compile-request
+        limits (hundreds of MB)."""
+        def expand(ch, name):
+            sl = jax.lax.dynamic_slice_in_dim(ch, t0, tc, axis=0)  # [Tc, S]
+            v = jnp.take(sl, st_idx, axis=1)                       # [Tc, P]
+            miss = -9999 if name == "prec_phase" else jnp.asarray(
+                MISSING, v.dtype)
+            return jnp.where(ok[None, :], v, miss)
+        return RawForcing(*(expand(getattr(channels, n), n)
+                            for n in RawForcing._fields))
+
     def raw_window(self, t0, tc: int) -> RawForcing:
         """[Tc, P] raw forcing for global steps [t0, t0+tc); called inside
         the chunk jit with traced t0."""
-        def expand(ch, name):
-            sl = jax.lax.dynamic_slice_in_dim(ch, t0, tc, axis=0)  # [Tc, S]
-            v = jnp.take(sl, self.st_idx, axis=1)                  # [Tc, P]
-            miss = -9999 if name == "prec_phase" else jnp.asarray(
-                MISSING, v.dtype)
-            return jnp.where(self.ok[None, :], v, miss)
-        return RawForcing(*(expand(getattr(self.channels, n), n)
-                            for n in RawForcing._fields))
+        return self.window_from(self.channels, self.ok, self.st_idx, t0, tc)
 
 
 class ProductionResult(NamedTuple):
@@ -230,14 +240,31 @@ class _Engine:
             scal = np.array(scal0)
             scal[ps.R_FAILED, self.n_real:] = 1.0
             self.scal0 = jax.device_put(scal, sh_cols(mesh_))
-            # unpack template for phase transitions (coupled driver)
+            # unpack template for phase transitions (coupled driver): only
+            # the pytree structure and dtypes matter (unpack_state replaces
+            # every leaf), so keep it scalar -- a full-size template would be
+            # baked into the phase-B HLO as constants
             self.template = jax.tree.map(
-                lambda x: jnp.asarray(np.asarray(x)), state_pad)
+                lambda x: jnp.zeros((), jnp.asarray(x).dtype), state_pad)
 
         self.fn_cache = {}
         # fixed output-row allocation: the max stride hits any chunk can
         # contain (keeps the jit variant count small: main + ragged chunks)
         self.k_alloc = (chunk_t - 1) // self.os_ + 1
+
+        # every device array the chunk fns consume travels as an EXPLICIT jit
+        # argument: closed-over jax.Arrays are lowered as HLO constants, and
+        # the station channels alone reach hundreds of MB at production scale
+        # -- overflowing compile-request limits (and bloating every cache key)
+        self.data = {
+            "ch": expander.channels, "ok": expander.ok,
+            "sidx": expander.st_idx, "hour": self.hour_dev,
+            "jde": self.jde_dev, "pts": self.pts_dev,
+            "anchors": self.anchors_dev, "obs": self.obs_dev,
+        }
+        self.data_shapes = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                           sharding=x.sharding), self.data)
 
     # -- chunk functions ----------------------------------------------------
 
@@ -252,17 +279,18 @@ class _Engine:
         settings, params, cfg, grid = (self.settings, self.params, self.cfg,
                                        self.grid)
         chunk_t, T = self.chunk_t, self.T
-        expander, mesh = self.expander, self.mesh
+        mesh, enable_sky = self.mesh, self.enable_sky
 
-        def prep_chunk(t0):
-            rawT = expander.raw_window(t0, chunk_t)
-            hr = jax.lax.dynamic_slice_in_dim(self.hour_dev, t0, chunk_t)
-            jd = (jax.lax.dynamic_slice_in_dim(self.jde_dev, t0, chunk_t)
-                  if self.enable_sky else None)
+        def prep_chunk(t0, data):
+            rawT = StationExpander.window_from(
+                data["ch"], data["ok"], data["sidx"], t0, chunk_t)
+            hr = jax.lax.dynamic_slice_in_dim(data["hour"], t0, chunk_t)
+            jd = (jax.lax.dynamic_slice_in_dim(data["jde"], t0, chunk_t)
+                  if enable_sky else None)
             return prepare_window(
-                rawT, self.pts_dev, hr, settings, params, t_offset=t0,
-                t_total=T, anchors=self.anchors_dev, jde=jd,
-                enable_skyview=self.enable_sky)
+                rawT, data["pts"], hr, settings, params, t_offset=t0,
+                t_total=T, anchors=data["anchors"], jde=jd,
+                enable_skyview=enable_sky)
 
         def launch(tmp, scal, forc, t0, nsteps):
             forc = jax.lax.with_sharding_constraint(
@@ -277,19 +305,19 @@ class _Engine:
 
         if with_cofs:
             @jax.jit
-            def fn(tmp, scal, t0, sw_corr, lw_corr):
-                prep = prep_chunk(t0)
+            def fn(tmp, scal, t0, data, sw_corr, lw_corr):
+                prep = prep_chunk(t0, data)
                 swc, lwc = cof_window(
-                    sw_corr, lw_corr, self.pts_dev.coupling_end, t0, chunk_t,
+                    sw_corr, lw_corr, data["pts"].coupling_end, t0, chunk_t,
                     T, settings, jnp.float32)
-                forc = ps.pack_forcing(prep, swc, lwc, self.obs_dev)
+                forc = ps.pack_forcing(prep, swc, lwc, data["obs"])
                 return launch(tmp, scal, forc, t0, nsteps)
         else:
             @jax.jit
-            def fn(tmp, scal, t0):
-                prep = prep_chunk(t0)
+            def fn(tmp, scal, t0, data):
+                prep = prep_chunk(t0, data)
                 ones = jnp.ones(prep.tair.shape, jnp.float32)
-                forc = ps.pack_forcing(prep, ones, ones, self.obs_dev)
+                forc = ps.pack_forcing(prep, ones, ones, data["obs"])
                 return launch(tmp, scal, forc, t0, nsteps)
 
         self.fn_cache[key] = fn
@@ -310,7 +338,7 @@ class _Engine:
                                        sharding=self.tmp0.sharding),
                   jax.ShapeDtypeStruct(self.scal0.shape, self.scal0.dtype,
                                        sharding=self.scal0.sharding),
-                  jax.ShapeDtypeStruct((), jnp.int32)]
+                  jax.ShapeDtypeStruct((), jnp.int32), self.data_shapes]
         if with_cofs:
             corr = jax.ShapeDtypeStruct(
                 (self.P_pad,), jnp.float32,
@@ -341,7 +369,8 @@ class _Engine:
             first_hit = -(-t0 // self.os_) * self.os_
             steps = list(range(first_hit, t0 + nsteps_c, self.os_))
             fn = self.chunk_fn(nsteps_c, cofs is not None)
-            args = (tmp, scal, np.int32(t0)) + (tuple(cofs) if cofs else ())
+            args = (tmp, scal, np.int32(t0), self.data) \
+                + (tuple(cofs) if cofs else ())
             tmp, scal, rows = fn(*args)
             pending.append((steps, rows if steps else scal))
             if len(pending) > 1:
@@ -463,25 +492,26 @@ def run_production_coupled(model: Model, expander, pts: PointParams,
     wck = wchunk or min(chunk_t, W)
     rows_b = window_out_rows(ws, we_b, os_)
 
-    def provider(t0):
-        rawT = expander.raw_window(t0, wck)
-        hr = jax.lax.dynamic_slice_in_dim(eng.hour_dev, t0, wck)
-        jd = (jax.lax.dynamic_slice_in_dim(eng.jde_dev, t0, wck)
-              if eng.enable_sky else None)
-        return prepare_window(rawT, eng.pts_dev, hr, settings, eng.params,
-                              t_offset=t0, t_total=T,
-                              anchors=eng.anchors_dev, jde=jd,
-                              enable_skyview=eng.enable_sky)
-
     @jax.jit
-    def phase_b(tmp, scal):
+    def phase_b(tmp, scal, data):
+        def provider(t0):
+            rawT = StationExpander.window_from(
+                data["ch"], data["ok"], data["sidx"], t0, wck)
+            hr = jax.lax.dynamic_slice_in_dim(data["hour"], t0, wck)
+            jd = (jax.lax.dynamic_slice_in_dim(data["jde"], t0, wck)
+                  if eng.enable_sky else None)
+            return prepare_window(rawT, data["pts"], hr, settings,
+                                  eng.params, t_offset=t0, t_total=T,
+                                  anchors=data["anchors"], jde=jd,
+                                  enable_skyview=eng.enable_sky)
+
         st = ps.unpack_state(tmp, scal, eng.grid.nlayers, eng.template)
         nv = -(-(W + 1) // wck)
         t0s = ws - 1 + wck * jnp.arange(nv, dtype=jnp.int32)
         vw = jax.lax.map(lambda t0: provider(t0).valid, t0s)
         valid_win = vw.reshape(-1, vw.shape[-1])[:W + 1]
         res = run_window_passes(st, provider, valid_win, ws, we_b,
-                                eng.pts_dev, settings, eng.cfg, eng.grid,
+                                data["pts"], settings, eng.cfg, eng.grid,
                                 eng.params, out_stride=os_, wchunk=wck)
         tmp2, scal2 = ps.pack_state(res.state, lpad=tmp.shape[0])
         cst = lambda x: jax.lax.with_sharding_constraint(x, sh_cols(eng.mesh))
@@ -495,14 +525,16 @@ def run_production_coupled(model: Model, expander, pts: PointParams,
         shapes = (jax.ShapeDtypeStruct(eng.tmp0.shape, eng.tmp0.dtype,
                                        sharding=eng.tmp0.sharding),
                   jax.ShapeDtypeStruct(eng.scal0.shape, eng.scal0.dtype,
-                                       sharding=eng.scal0.sharding))
+                                       sharding=eng.scal0.sharding),
+                  eng.data_shapes)
         phase_b_c = phase_b.lower(*shapes).compile()
 
     with eng.metrics.phase("stream"):
         t_start = timelib.perf_counter()
         tmp, scal, col = eng.stream(eng.tmp0, eng.scal0, 0, ws - 1,
                                     progress=progress)
-        tmp, scal, sw_corr, lw_corr, out_b, reruns = phase_b_c(tmp, scal)
+        tmp, scal, sw_corr, lw_corr, out_b, reruns = phase_b_c(
+            tmp, scal, eng.data)
         if len(rows_b):
             col.append((list(rows_b), np.asarray(out_b)[:len(rows_b)]))
         if progress:
