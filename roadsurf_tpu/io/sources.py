@@ -50,6 +50,20 @@ def parse_time(s: str, fmt: str = "%Y-%m-%d %H:%M") -> int:
     return calendar.timegm(timelib.strptime(s.strip(), fmt))
 
 
+def parse_times(strings) -> np.ndarray:
+    """Vectorized %Y-%m-%d %H:%M epoch parsing (the JsonSource hot path --
+    strptime costs ~13 us/call, x ~750k timestamps at production station
+    counts); falls back to parse_time row by row on malformed input."""
+    if not len(strings):
+        return np.zeros(0, np.int64)
+    try:
+        arr = np.array([s.strip().replace(" ", "T") for s in strings],
+                       dtype="datetime64[s]")
+        return arr.astype(np.int64)
+    except ValueError:
+        return np.array([parse_time(t) for t in strings], np.int64)
+
+
 def read_json_tolerant(path: str):
     """read_json with comment tolerance (examples/example1/src/JsonTools.cpp):
     strips // line comments (outside string literals).
@@ -81,6 +95,34 @@ def read_json_tolerant(path: str):
             i += 1
         out_lines.append(line)
     return jsonlib.loads("\n".join(out_lines))
+
+
+def _complete_tdew_rh(series) -> None:
+    """Tdew <-> RH completion (JsonSource.cpp:290-296), batched: ONE device
+    call over the concatenation of every station's rows (a per-station call
+    costs a dispatch each -- ruinous through a remote backend)."""
+    lens = [len(t) for t, _ in series]
+    total = int(np.sum(lens))
+    if total == 0:
+        return
+    cat = {k: np.concatenate([np.asarray(v.get(k, np.full(n, MISSING)))
+                              for (_, v), n in zip(series, lens)])
+           for k in ("tair", "tdew", "rhz")}
+    tair, td, rh = cat["tair"], cat["tdew"], cat["rhz"]
+    need_td = (td < -100) & (rh > -100) & (tair > -100)
+    need_rh = (rh < -100) & (td > -100) & (tair > -100)
+    if not (need_td.any() or need_rh.any()):
+        return
+    from ..physics.moisture import rh_from_tdew, tdew_from_rh
+    if need_td.any():
+        td = np.where(need_td, np.asarray(tdew_from_rh(tair, rh)), td)
+    if need_rh.any():
+        rh = np.where(need_rh, np.asarray(rh_from_tdew(tair, td)), rh)
+    off = 0
+    for (t, vals), n in zip(series, lens):
+        vals["tdew"] = td[off:off + n]
+        vals["rhz"] = rh[off:off + n]
+        off += n
 
 
 def batch_interpolate_stations(series, sim_times: np.ndarray):
@@ -162,8 +204,7 @@ class JsonSource(Source):
         doc = data if data is not None else read_json_tolerant(path)
         series, meta = [], []
         for st in doc:
-            times = np.array([parse_time(t) for t in st.get("time", [])],
-                             np.int64)
+            times = parse_times(st.get("time", []))
             vals = {}
             n = len(times)
             for jname, name in JSON_VARS.items():
@@ -172,22 +213,11 @@ class JsonSource(Source):
                     vals[name] = np.asarray(arr, np.float64)
                 else:
                     vals[name] = np.full(n, MISSING)
-            if n:
-                # Tdew <-> RH completion (JsonSource.cpp:290-296)
-                from ..physics.moisture import rh_from_tdew, tdew_from_rh
-                tair, td, rh = vals["tair"], vals["tdew"], vals["rhz"]
-                need_td = (td < -100) & (rh > -100) & (tair > -100)
-                need_rh = (rh < -100) & (td > -100) & (tair > -100)
-                if need_td.any():
-                    vals["tdew"] = np.where(
-                        need_td, np.asarray(tdew_from_rh(tair, rh)), td)
-                if need_rh.any():
-                    vals["rhz"] = np.where(
-                        need_rh, np.asarray(rh_from_tdew(tair, td)), rh)
             series.append((times, vals))
             meta.append((int(st.get("statId", 0)),
                          float(st.get("lat", MISSING)),
                          float(st.get("lon", MISSING))))
+        _complete_tdew_rh(series)
         interped = batch_interpolate_stations(series, sim_times)
         self._stations = [StationData(pid, lat, lon, values)
                           for (pid, lat, lon), values in zip(meta, interped)]
