@@ -73,7 +73,7 @@ def run(config_path: str, forecast_time_s: Optional[str] = None,
         checkpoint_in: Optional[str] = None,
         checkpoint_out: Optional[str] = None,
         verbose: bool = True, engine: str = "auto",
-        profile_dir: Optional[str] = None, chunk_t: int = 64,
+        profile_dir: Optional[str] = None, chunk_t: int = 0,
         metrics=None):
     import dataclasses
 
@@ -412,6 +412,8 @@ def run_production_config(config, settings, cal, sim_epochs, now, start, *,
     with metrics.phase("init"):
         mesh = make_mesh()
         p_pad = production.padded_points(P, mesh)
+        if not chunk_t:        # 0/None = size chunks for the point count
+            chunk_t = production.auto_chunk_t(p_pad)
         st_idx_pad = np.pad(np.asarray(st_idx), (0, p_pad - P),
                             constant_values=-1)
         expander = production.StationExpander(raw_st, st_idx_pad, mesh,
@@ -516,8 +518,9 @@ def main(argv=None):
                          "uncoupled runs, XLA scan otherwise")
     ap.add_argument("--profile", dest="profile_dir",
                     help="capture a JAX profiler trace to this directory")
-    ap.add_argument("--chunk-t", dest="chunk_t", type=int, default=64,
-                    help="forcing streaming chunk length (pallas engine)")
+    ap.add_argument("--chunk-t", dest="chunk_t", type=int, default=0,
+                    help="forcing streaming chunk length (pallas engine); "
+                         "0 = auto-size for the point count")
     ap.add_argument("-v", "--verbose", action="store_true", default=True)
     args = ap.parse_args(argv)
     cfg = args.config or args.config_pos

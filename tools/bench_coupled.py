@@ -38,7 +38,8 @@ def main(argv=None):
     ap.add_argument("--scenario",
                     choices=("typical", "hard", "worst", "both"),
                     default="both")
-    ap.add_argument("--chunk-t", type=int, default=64)
+    ap.add_argument("--chunk-t", type=int, default=0,
+                    help="0 = auto-size for the point count")
     ap.add_argument("--repeat", type=int, default=2)
     args = ap.parse_args(argv)
 
@@ -68,9 +69,10 @@ def main(argv=None):
 
     mesh = make_mesh()
     p_pad = production.padded_points(P, mesh)
+    chunk_t = args.chunk_t or production.auto_chunk_t(p_pad)
     st_idx_pad = np.pad(st_idx, (0, p_pad - P), constant_values=-1)
     expander = production.StationExpander(raw_st, st_idx_pad, mesh,
-                                          chunk_t=args.chunk_t)
+                                          chunk_t=chunk_t)
 
     # per-point params; obs target near the station tair at the window end
     tair_end = np.asarray(raw_st.tair)[st_idx, end_i - 1]
@@ -101,7 +103,7 @@ def main(argv=None):
         for r in range(args.repeat):
             m = RunMetrics()
             res = fn(model, expander, pts, cal, state0, mesh=mesh,
-                     chunk_t=args.chunk_t, metrics=m)
+                     chunk_t=chunk_t, metrics=m)
             reruns = m.counters.get("coupling_reruns", 0)
             if best is None or res.point_steps_per_s > best:
                 best = res.point_steps_per_s
