@@ -132,6 +132,51 @@ def bilinear_at_points(field: np.ndarray, lats: np.ndarray, lons: np.ndarray,
     return out
 
 
+def nearest_corner_at_points(field: np.ndarray, lats: np.ndarray,
+                             lons: np.ndarray, plat: np.ndarray,
+                             plon: np.ndarray) -> np.ndarray:
+    """Nearest-valid-corner extraction for categorical fields (PrecPhase).
+
+    Same cell geometry as :func:`bilinear_at_points`, but instead of
+    averaging (meaningless for enumerated codes) the valid corner with the
+    largest bilinear weight wins -- the newbase behavior for discrete
+    weather parameters (NFmiQueryInfo nearest-point interpolation of
+    kFmiPrecipitationForm).  Deterministic tie-break in corner order.
+    Returns exact field values, so downstream float32 handling is lossless.
+    """
+    lats = np.asarray(lats, np.float64)
+    lons = np.asarray(lons, np.float64)
+    flip = len(lats) > 1 and lats[1] < lats[0]
+    if flip:
+        lats = lats[::-1]
+        field = field[..., ::-1, :]
+    plat = np.asarray(plat, np.float64)
+    plon = np.asarray(plon, np.float64)
+    ny, nx = len(lats), len(lons)
+
+    iy = np.clip(np.searchsorted(lats, plat, side="right") - 1, 0, ny - 2)
+    ix = np.clip(np.searchsorted(lons, plon, side="right") - 1, 0, nx - 2)
+    inside = ((plat >= lats[0]) & (plat <= lats[-1])
+              & (plon >= lons[0]) & (plon <= lons[-1]))
+    dy = lats[iy + 1] - lats[iy]
+    dx = lons[ix + 1] - lons[ix]
+    fy = np.where(dy > 0, (plat - lats[iy]) / np.where(dy > 0, dy, 1.0), 0.0)
+    fx = np.where(dx > 0, (plon - lons[ix]) / np.where(dx > 0, dx, 1.0), 0.0)
+
+    shp = field.shape[:-2] + plat.shape
+    best = np.full(shp, MISSING)
+    bestw = np.full(shp, -1.0)
+    for cy, cx, w in ((0, 0, (1 - fy) * (1 - fx)), (0, 1, (1 - fy) * fx),
+                      (1, 0, fy * (1 - fx)), (1, 1, fy * fx)):
+        v = field[..., iy + cy, ix + cx]                       # [..., P]
+        valid = ~_is_missing(v)
+        wb = np.broadcast_to(w, shp)
+        upd = valid & (wb > bestw)
+        best = np.where(upd, v, best)
+        bestw = np.where(upd, wb, bestw)
+    return np.where(inside, best, MISSING)
+
+
 def interpolate_gapped(raw_times: np.ndarray, sim_times: np.ndarray,
                        values: np.ndarray,
                        max_gap_s: float = MAX_TIME_GAP_MIN * 60.0
@@ -267,7 +312,9 @@ class GridSource:
         {name: [P, S]}."""
         out = {}
         for name, field in self.fields.items():
-            pv = bilinear_at_points(field, self.lats, self.lons, plat, plon)
+            interp_sp = (nearest_corner_at_points if name == "prec_phase"
+                         else bilinear_at_points)
+            pv = interp_sp(field, self.lats, self.lons, plat, plon)
             pv = np.moveaxis(pv, -1, 0)                         # [P, R]
             if name == "prec_phase":
                 v = nearest_gapped(self.times, self.sim_times, pv)

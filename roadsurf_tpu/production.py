@@ -88,6 +88,12 @@ class StationExpander:
     io.points.nearest_station_forcing) is sharded over points, so each chunk's
     [Tc, P] raw forcing materializes only as per-device blocks inside the
     chunk jit.
+
+    Expander interface (shared with GridExpander / CompositeExpander):
+    ``num_points`` / ``t_pad`` / ``dtype`` attributes, ``device_data`` (a
+    pytree of device arrays passed as explicit jit arguments), and
+    ``window(data, t0, tc) -> RawForcing [tc, P]`` whose only captured values
+    are Python statics (never jax.Arrays -- closures lower to HLO constants).
     """
 
     def __init__(self, raw_st: RawForcing, st_idx, mesh, chunk_t: int,
@@ -122,6 +128,32 @@ class StationExpander:
         self.st_idx = jax.device_put(
             np.where(ok, st_idx, 0).astype(np.int32), shp)
         self.dtype = dtype
+        self._raw_host = raw_st            # station-keyed [S, T] (no copy)
+        self._ok_host = ok
+        self._ie_host = np.where(ok, st_idx, 0)
+        # first-step values per point (host), for init_state / composites
+        self.first_host = {
+            n: np.where(ok, np.asarray(getattr(raw_st, n))[self._ie_host, 0],
+                        -9999 if n == "prec_phase" else -9999.9)
+            for n in RawForcing._fields}
+
+    def host_at(self, sim_sel, names=("tair", "tdew", "rhz")) -> dict:
+        """Host-side per-point values at selected sim steps [n] (for output
+        writers and anchor derivation): {name: [P, n]}."""
+        sel = np.asarray(sim_sel)
+        out = {}
+        for n in names:
+            v = np.asarray(getattr(self._raw_host, n))[:, sel]
+            out[n] = np.where(self._ok_host[:, None], v[self._ie_host],
+                              -9999.9)
+        return out
+
+    @property
+    def device_data(self):
+        return {"ch": self.channels, "ok": self.ok, "sidx": self.st_idx}
+
+    def window(self, data, t0, tc: int) -> RawForcing:
+        return self.window_from(data["ch"], data["ok"], data["sidx"], t0, tc)
 
     @staticmethod
     def window_from(channels: RawForcing, ok, st_idx, t0, tc: int
@@ -144,6 +176,354 @@ class StationExpander:
         """[Tc, P] raw forcing for global steps [t0, t0+tc); called inside
         the chunk jit with traced t0."""
         return self.window_from(self.channels, self.ok, self.st_idx, t0, tc)
+
+
+def merge_windows(windows: Sequence[RawForcing]) -> RawForcing:
+    """Source-overlay merge of [Tc, P] windows in config order: later sources
+    overwrite earlier values where valid (DataHandler per-value overlay,
+    examples/example1/src/DataHandler.cpp:73-82 / DataManager.cpp:67-77)."""
+    if len(windows) == 1:
+        return windows[0]
+    out = {}
+    for name in RawForcing._fields:
+        thr = -1000.0 if name == "lw_net" else -100.0
+        acc = getattr(windows[0], name)
+        for w in windows[1:]:
+            v = getattr(w, name)
+            acc = jnp.where(v > thr, v, acc)
+        out[name] = acc
+    return RawForcing(**out)
+
+
+class CompositeExpander:
+    """Overlay of several expanders (grid + station sources in one config),
+    merged per value in source order -- the example2 DataManager stack
+    (examples/example2/src/DataManager.cpp:67-77) on device."""
+
+    def __init__(self, parts: Sequence):
+        assert parts
+        self.parts = list(parts)
+        self.num_points = parts[0].num_points
+        self.t_pad = parts[0].t_pad
+        self.dtype = parts[0].dtype
+        for p in parts[1:]:
+            assert p.num_points == self.num_points
+            assert p.t_pad == self.t_pad, (p.t_pad, self.t_pad)
+        self.first_host = {}
+        for name in RawForcing._fields:
+            thr = -1000.0 if name == "lw_net" else -100.0
+            acc = np.asarray(self.parts[0].first_host[name])
+            for p in self.parts[1:]:
+                v = np.asarray(p.first_host[name])
+                acc = np.where(v > thr, v, acc)
+            self.first_host[name] = acc
+
+    @property
+    def device_data(self):
+        return tuple(p.device_data for p in self.parts)
+
+    def window(self, data, t0, tc: int) -> RawForcing:
+        return merge_windows([p.window(d, t0, tc)
+                              for p, d in zip(self.parts, data)])
+
+    def host_at(self, sim_sel, names=("tair", "tdew", "rhz")) -> dict:
+        outs = [p.host_at(sim_sel, names) for p in self.parts]
+        merged = {}
+        for n in names:
+            thr = -1000.0 if n == "lw_net" else -100.0
+            acc = outs[0][n]
+            for o in outs[1:]:
+                acc = np.where(o[n] > thr, o[n], acc)
+            merged[n] = acc
+        return merged
+
+
+class GridExpander:
+    """On-device gridded-NWP -> point forcing expansion (the QueryDataSource
+    grid path, examples/example2/src/QueryDataSource.cpp:585-722, streamed).
+
+    Host side (once): bilinear extraction of every grid field at the
+    simulation points (QueryDataSource.cpp:931 ``InterpolatedValue``) onto the
+    RAW forecast times -> compact [P, K] per-variable series, sharded over the
+    points mesh axis (K = #raw times, typically ~75 hourly samples -- tiny
+    next to [P, T]).
+
+    Device side (per streaming chunk): the reference's gap-capped time
+    interpolation with missing-sample search (QueryDataSource.cpp:331-425,
+    io.gridsource.interpolate_gapped/nearest_gapped) evaluated for the
+    chunk's sim steps.  The search runs over a static window of KW raw
+    columns around the chunk's position -- KW is sized at build time so any
+    sample pair within the 180-min gap cap lies inside the window; running
+    last-valid/next-valid (time, value) pairs are computed by an unrolled
+    forward/backward propagation over the KW rows (vectorized over P; no
+    per-point gathers, which serialize on the TPU scalar core), and each
+    chunk step picks its position's piecewise-linear segment by a uniform
+    row gather.
+
+    Semantics parity with ``GridSource.at_points`` + sim-grid sampling is
+    enforced by tests/test_production_grid.py.
+    """
+
+    def __init__(self, times, glats, glons, fields: dict, plat, plon,
+                 sim_epochs, mesh, chunk_t: int, dtype=jnp.float32,
+                 max_gap_s: float = 180 * 60.0):
+        from .io.gridsource import bilinear_at_points, interpolate_gapped, \
+            nearest_gapped
+        plat = np.asarray(plat, np.float64)
+        plon = np.asarray(plon, np.float64)
+        self.num_points = Pn = len(plat)
+        self.mesh = mesh
+        self.dtype = dtype
+        self.max_gap_s = float(max_gap_s)
+        sim = np.asarray(sim_epochs, np.int64)
+        T = len(sim)
+        self.sim_len = T
+        self.t_pad = t_pad = (-(-T // chunk_t) + 1) * chunk_t
+
+        times = np.asarray(times, np.int64)
+        order = np.argsort(times, kind="stable")
+        # keep-last at duplicate raw times (directory-merge convention)
+        keep = np.ones(len(times), bool)
+        keep[:-1] = np.diff(times[order]) > 0
+        sel = order[keep]
+        times = times[sel]
+        fields = {k: np.asarray(v, np.float64)[sel] for k, v in fields.items()}
+        K = len(times)
+        if K == 0:
+            raise ValueError("grid source has no time samples")
+
+        # --- uniform (per-t) position machinery on the padded sim grid -----
+        sim_pad = np.concatenate([sim, np.full(t_pad - T, sim[-1], np.int64)])
+        pos = np.searchsorted(times, sim_pad, side="left")         # in [0, K]
+        in_data = pos < K
+        posc = np.clip(pos, 0, K - 1)
+        texact = in_data & (times[posc] == sim_pad)
+        # nearest-time pick for prec_phase (QueryDataSource.cpp:397-425):
+        # candidates pos-1/pos, ties to the later sample, gap-capped
+        p1 = np.clip(posc - 1, 0, K - 1)
+        gap1 = (sim_pad - times[p1]).astype(np.float64)
+        gap2 = (times[posc] - sim_pad).astype(np.float64)
+        have_n = (pos > 0) & in_data & (np.minimum(gap1, gap2) <= max_gap_s)
+        pick = np.where(gap1 < gap2, p1, posc).astype(np.int32)
+
+        # --- static window geometry ---------------------------------------
+        # MB raw columns below the position cover every j1 candidate within
+        # the gap cap; MF columns above cover every j2 candidate (see the
+        # have-mask analysis in window()); SPAN = max position advance
+        # within any chunk_t-long stream window
+        if K > 1:
+            jmin = np.searchsorted(times, times[:-1] - int(max_gap_s),
+                                   side="right")
+            MB = int(np.max(np.arange(1, K) - jmin))
+            jmax = np.searchsorted(times, times[1:] + int(max_gap_s),
+                                   side="right") - 1
+            MF = int(np.max(jmax - np.arange(1, K))) + 1
+        else:
+            MB, MF = 1, 1
+        MB = max(MB, 1)
+        span = int(np.max(pos[chunk_t - 1:] - pos[:t_pad - chunk_t + 1])) + 1
+        self.MB = MB
+        self.SPAN = span
+        self.KW = min(K, MB + span + MF)
+        self.K = K
+
+        # --- host bilinear extraction + device placement ------------------
+        rep = NamedSharding(mesh, P())
+        shp2 = NamedSharding(mesh, P(POINTS, None))
+        fdt = np.float32 if dtype == jnp.float32 else np.float64
+        from .io.gridsource import nearest_corner_at_points
+        self.var_names = [n for n in RawForcing._fields if n in fields]
+        pv_dev = {}
+        for name in self.var_names:
+            interp_sp = (nearest_corner_at_points if name == "prec_phase"
+                         else bilinear_at_points)
+            v = interp_sp(fields[name], glats, glons, plat, plon)
+            pv_dev[name] = jax.device_put(
+                np.ascontiguousarray(v.T).astype(fdt), shp2)   # [P, K]
+        self._data = {
+            "pv": pv_dev,
+            "trw": jax.device_put((times - sim[0]).astype(fdt), rep),
+            "pos": jax.device_put(pos.astype(np.int32), rep),
+            "trel": jax.device_put((sim_pad - sim[0]).astype(fdt), rep),
+            "tex": jax.device_put(texact, rep),
+            "pick": jax.device_put(pick, rep),
+            "havep": jax.device_put(have_n, rep),
+        }
+
+        # host refs for first_host / host_at (grids are small; no copies)
+        self._href = (times, glats, glons, fields, plat, plon, sim)
+        first = self._host_values(sim[:1], self.var_names)
+        self.first_host = {
+            n: (first[n][:, 0] if n in first
+                else np.full(Pn, -9999 if n == "prec_phase" else MISSING))
+            for n in RawForcing._fields}
+
+    def _host_values(self, sim_abs, names) -> dict:
+        """The GridSource.at_points pipeline (bilinear -> gap-capped time
+        interp -> clamps -> Tdew/RH completion) at arbitrary epoch times;
+        returns {name: [P, n]} for requested names plus completion inputs."""
+        from .io.gridsource import bilinear_at_points, interpolate_gapped, \
+            nearest_corner_at_points, nearest_gapped
+        times, glats, glons, fields, plat, plon, _ = self._href
+        Pn = self.num_points
+        want = set(names) | ({"tair", "tdew", "rhz"} & set(self.var_names))
+        sim_abs = np.asarray(sim_abs, np.int64)
+        out = {}
+        for name in sorted(want & set(self.var_names)):
+            interp_sp = (nearest_corner_at_points if name == "prec_phase"
+                         else bilinear_at_points)
+            pvh = interp_sp(fields[name], glats, glons,
+                            plat, plon).T                          # [P, R]
+            if name == "prec_phase":
+                v = nearest_gapped(times, sim_abs, pvh, self.max_gap_s)
+            else:
+                v = interpolate_gapped(times, sim_abs, pvh, self.max_gap_s)
+            if name == "rhz":
+                v = np.where(v <= -9000.0, v, np.clip(v, 0.0, 100.0))
+            if name == "prec":
+                v = np.where(v > 100.0, MISSING, v)
+            out[name] = v
+        ta = out.get("tair")
+        if ta is not None:
+            from .physics.moisture import rh_from_tdew, tdew_from_rh
+            td = out.get("tdew", np.full_like(ta, MISSING))
+            rh = out.get("rhz", np.full_like(ta, MISSING))
+            t_ok = ta > -9000.0
+            out["tdew"] = np.where((td <= -9000.0) & (rh > -9000.0) & t_ok,
+                                   np.asarray(tdew_from_rh(ta, rh)), td)
+            out["rhz"] = np.where((rh <= -9000.0) & (td > -9000.0) & t_ok,
+                                  np.asarray(rh_from_tdew(ta, td)), rh)
+        for n in names:
+            if n not in out:
+                out[n] = np.full((Pn, len(sim_abs)),
+                                 -9999 if n == "prec_phase" else MISSING)
+        return out
+
+    def host_at(self, sim_sel, names=("tair", "tdew", "rhz")) -> dict:
+        """Host-side per-point values at selected sim steps (for output
+        writers and anchor derivation): {name: [P, n]}."""
+        _, _, _, _, _, _, sim = self._href
+        sel = np.asarray(sim_sel)
+        return self._host_values(sim[sel], tuple(names))
+
+    @property
+    def device_data(self):
+        return self._data
+
+    def window(self, data, t0, tc: int) -> RawForcing:
+        """[tc, P] RawForcing for global sim steps [t0, t0+tc); runs inside
+        the chunk jit (t0 traced)."""
+        KW, MB, SPAN, K = self.KW, self.MB, self.SPAN, self.K
+        Pn = self.num_points
+        miss = jnp.asarray(MISSING, self.dtype)
+
+        k0 = jax.lax.dynamic_slice(data["pos"], (t0,), (1,))[0]
+        lo = jnp.clip(k0 - MB, 0, max(K - KW, 0))
+        tw = jax.lax.dynamic_slice(data["trw"], (lo,), (KW,))      # [KW]
+        pos_c = jax.lax.dynamic_slice(data["pos"], (t0,), (tc,))   # [tc]
+        s_t = jnp.clip(pos_c - k0, 0, SPAN - 1)
+        t_r = jax.lax.dynamic_slice(data["trel"], (t0,), (tc,))
+        tr0 = t_r[0]
+        tex = jax.lax.dynamic_slice(data["tex"], (t0,), (tc,))[:, None]
+        NEG, POS = jnp.asarray(-3e38, self.dtype), jnp.asarray(3e38,
+                                                               self.dtype)
+
+        def continuous(pvw, validw):
+            # running last-valid / next-valid (time, value) pairs over the
+            # KW window rows -- raw times increase, so propagation is a
+            # plain where-carry (no comparisons), vectorized over P
+            lv_t, lv_v = [], []
+            ct = jnp.full((Pn,), NEG)
+            cv = jnp.zeros((Pn,), self.dtype)
+            for k in range(KW):
+                ct = jnp.where(validw[k], tw[k], ct)
+                cv = jnp.where(validw[k], pvw[k], cv)
+                lv_t.append(ct)
+                lv_v.append(cv)
+            nx_t, nx_v = [None] * KW, [None] * KW
+            ct = jnp.full((Pn,), POS)
+            cv = jnp.zeros((Pn,), self.dtype)
+            for k in reversed(range(KW)):
+                ct = jnp.where(validw[k], tw[k], ct)
+                cv = jnp.where(validw[k], pvw[k], cv)
+                nx_t[k] = ct
+                nx_v[k] = cv
+            lv_t, lv_v = jnp.stack(lv_t), jnp.stack(lv_v)
+            nx_t, nx_v = jnp.stack(nx_t), jnp.stack(nx_v)
+
+            row = lambda a, i: jax.lax.dynamic_slice_in_dim(a, i, 1, 0)[0]
+            seg_a, seg_b, seg_e, seg_eo = [], [], [], []
+            for s in range(SPAN):
+                kg = k0 + s                       # global position index
+                kl = jnp.clip(kg - lo, 0, KW - 1)
+                klm1 = jnp.clip(kg - lo - 1, 0, KW - 1)
+                t1, v1 = row(lv_t, klm1), row(lv_v, klm1)
+                t2, v2 = row(nx_t, kl), row(nx_v, kl)
+                gap = t2 - t1
+                have = ((kg > 0) & (kg < K) & (t1 > NEG * 0.5)
+                        & (t2 < POS * 0.5) & (gap <= self.max_gap_s))
+                invg = jnp.where(gap > 0, 1.0 / gap, 0.0)
+                beta = jnp.where(have, (v2 - v1) * invg, 0.0)
+                # chunk-rebased intercept: v(t) = alpha + (t - tr0) * beta
+                # keeps the f32 cancellation at window scale, not run scale
+                alpha = jnp.where(have, v1 + (tr0 - t1) * beta, miss)
+                seg_a.append(alpha)
+                seg_b.append(beta)
+                seg_e.append(row(pvw, kl))
+                seg_eo.append(row(validw, kl) & (kg < K))
+            A, B = jnp.stack(seg_a), jnp.stack(seg_b)
+            E, EO = jnp.stack(seg_e), jnp.stack(seg_eo)
+            res = (jnp.take(A, s_t, axis=0)
+                   + (t_r - tr0)[:, None] * jnp.take(B, s_t, axis=0))
+            # exact-time valid samples override unconditionally
+            # (QueryDataSource.cpp:798-801 / interpolate_gapped)
+            return jnp.where(tex & jnp.take(EO, s_t, axis=0),
+                             jnp.take(E, s_t, axis=0), res)
+
+        out = {}
+        for name in RawForcing._fields:
+            arr = data["pv"].get(name)
+            if arr is None:
+                out[name] = (jnp.full((tc, Pn), -9999, jnp.int32)
+                             if name == "prec_phase"
+                             else jnp.full((tc, Pn), miss))
+                continue
+            win = jax.lax.dynamic_slice(arr, (jnp.zeros((), lo.dtype), lo),
+                                        (Pn, KW))
+            pvw = win.T                                            # [KW, P]
+            validw = pvw > -9000.0
+            if name == "prec_phase":
+                pickw = jax.lax.dynamic_slice(data["pick"], (t0,), (tc,))
+                havep = jax.lax.dynamic_slice(data["havep"], (t0,),
+                                              (tc,))[:, None]
+                lpick = jnp.clip(pickw - lo, 0, KW - 1)
+                vnear = jnp.take(pvw, lpick, axis=0)
+                lpos = jnp.clip(pos_c - lo, 0, KW - 1)
+                vex = jnp.take(pvw, lpos, axis=0)
+                vexok = jnp.take(validw, lpos, axis=0)
+                res = jnp.where(tex & vexok, vex,
+                                jnp.where(havep, vnear, miss))
+                out[name] = jnp.where(res > -9000.0, res,
+                                      -9999.0).astype(jnp.int32)
+                continue
+            res = continuous(pvw, validw)
+            if name == "rhz":
+                res = jnp.where(res > -9000.0, jnp.clip(res, 0.0, 100.0),
+                                res)
+            if name == "prec":
+                res = jnp.where(res > 100.0, miss, res)
+            out[name] = res
+
+        # Tdew <-> RH completion per source (QueryDataSource.cpp:817-828)
+        ta, td, rh = out["tair"], out["tdew"], out["rhz"]
+        t_ok = ta > -9000.0
+        if "tair" in self.var_names:
+            from .physics.moisture import rh_from_tdew, tdew_from_rh
+            need_td = (td <= -9000.0) & (rh > -9000.0) & t_ok
+            need_rh = (rh <= -9000.0) & (td > -9000.0) & t_ok
+            out["tdew"] = jnp.where(need_td, tdew_from_rh(ta, rh), td)
+            out["rhz"] = jnp.where(need_rh, rh_from_tdew(ta, td), rh)
+        return RawForcing(**out)
 
 
 class ProductionResult(NamedTuple):
@@ -275,8 +655,7 @@ class _Engine:
         # the station channels alone reach hundreds of MB at production scale
         # -- overflowing compile-request limits (and bloating every cache key)
         self.data = {
-            "ch": expander.channels, "ok": expander.ok,
-            "sidx": expander.st_idx, "hour": self.hour_dev,
+            "exp": expander.device_data, "hour": self.hour_dev,
             "jde": self.jde_dev, "pts": self.pts_dev,
             "anchors": self.anchors_dev, "obs": self.obs_dev,
         }
@@ -299,9 +678,10 @@ class _Engine:
         chunk_t, T = self.chunk_t, self.T
         mesh, enable_sky = self.mesh, self.enable_sky
 
+        expander = self.expander
+
         def prep_chunk(t0, data):
-            rawT = StationExpander.window_from(
-                data["ch"], data["ok"], data["sidx"], t0, chunk_t)
+            rawT = expander.window(data["exp"], t0, chunk_t)
             hr = jax.lax.dynamic_slice_in_dim(data["hour"], t0, chunk_t)
             jd = (jax.lax.dynamic_slice_in_dim(data["jde"], t0, chunk_t)
                   if enable_sky else None)
@@ -513,8 +893,7 @@ def run_production_coupled(model: Model, expander, pts: PointParams,
     @jax.jit
     def phase_b(tmp, scal, data):
         def provider(t0):
-            rawT = StationExpander.window_from(
-                data["ch"], data["ok"], data["sidx"], t0, wck)
+            rawT = eng.expander.window(data["exp"], t0, wck)
             hr = jax.lax.dynamic_slice_in_dim(data["hour"], t0, wck)
             jd = (jax.lax.dynamic_slice_in_dim(data["jde"], t0, wck)
                   if eng.enable_sky else None)

@@ -329,68 +329,89 @@ def run_production_config(config, settings, cal, sim_epochs, now, start, *,
             lats, lons = pset.lats, pset.lons
             point_ids = list(range(1, len(lats) + 1))
 
-        if handler.has_grid_source():
-            raise SystemExit(
-                "grid/querydata sources are not wired to the streamed "
-                "pallas engine yet; run with --engine scan")
+        grid_srcs = [(i, s) for i, s in enumerate(handler.sources)
+                     if hasattr(s, "at_points")]
+        station_srcs = [s for s in handler.sources
+                        if not hasattr(s, "at_points")]
+        for _, s in grid_srcs:
+            if s.is_observation and (settings.use_coupling
+                                     or settings.use_relaxation):
+                raise SystemExit(
+                    "grid observation sources with coupling/relaxation "
+                    "need the [P, T] obs series; run with --engine scan")
 
-        raw_st, obs_tair_st = handler.merged(sim_len)
-        locs = handler.locations()
-        st_lats = np.array([l[0] for l in locs])
-        st_lons = np.array([l[1] for l in locs])
-        if pset.mode == "stations":
-            st_idx = np.arange(len(point_ids), dtype=np.int64)
-        else:
-            radius = float((config.get("points") or {}).get(
-                "max_radius_km", 50.0))
-            st_idx = nearest_station_index(st_lats, st_lons, lats, lons,
-                                           radius)
-            if verbose:
-                print(f"Point mode '{pset.mode}': {len(lats)} points "
-                      f"({int((st_idx < 0).sum())} outside station radius)")
-
-        # station-level read_input semantics (derive + obs blanking)
-        pts_st, blanked_st = derive_point_params(
-            raw_st, settings,
-            obs_tair=obs_tair_st if handler.sources else None)
-        raw_st = raw_st._replace(tsurf_obs=blanked_st)
-
-        # required-variable validation (roadrunner.cpp:183-231) -- station
-        # level; a bad station poisons every point mapped to it (identical
-        # to the scan path's per-point poisoning, since point data IS the
-        # station data)
-        required = ("tair", "rhz", "prec", "sw", "lw", "vz")
-        ok_st = np.ones(len(st_lats), bool)
-        for name in required:
-            missing = np.asarray(getattr(raw_st, name)) < -9000.0
-            bad = missing.any(axis=1)
-            for i in np.where(bad & ok_st)[0]:
+        sub = DataHandler(station_srcs)
+        have_st = bool(station_srcs) and bool(sub.point_ids())
+        P = len(point_ids)
+        if have_st:
+            raw_st, obs_tair_st = sub.merged(sim_len)
+            locs = sub.locations()
+            st_lats = np.array([l[0] for l in locs])
+            st_lons = np.array([l[1] for l in locs])
+            if pset.mode == "stations":
+                st_idx = np.arange(len(point_ids), dtype=np.int64)
+            else:
+                radius = float((config.get("points") or {}).get(
+                    "max_radius_km", 50.0))
+                st_idx = nearest_station_index(st_lats, st_lons, lats, lons,
+                                               radius)
                 if verbose:
-                    t_bad = int(np.argmax(missing[i]))
-                    print(f"{name} missing at step {t_bad} "
-                          f"{st_lats[i]:.4f} {st_lons[i]:.4f}")
-            ok_st &= ~bad
-        if verbose and (~ok_st).any():
-            print(f"Skipping points mapped to {int((~ok_st).sum())} "
-                  f"stations with missing required input")
-        tair_p = np.asarray(raw_st.tair).copy()
-        tair_p[~ok_st, :] = -9999.9
-        raw_st = raw_st._replace(tair=tair_p)
+                    print(f"Point mode '{pset.mode}': {len(lats)} points "
+                          f"({int((st_idx < 0).sum())} outside station "
+                          f"radius)")
 
-        anchors_st = (relax_anchors(raw_st, pts_st)
-                      if settings.use_relaxation else None)
+            # station-level read_input semantics (derive + obs blanking)
+            pts_st, blanked_st = derive_point_params(
+                raw_st, settings,
+                obs_tair=obs_tair_st if handler.sources else None)
+            raw_st = raw_st._replace(tsurf_obs=blanked_st)
+
+            # required-variable validation (roadrunner.cpp:183-231) --
+            # station level; a bad station poisons every point mapped to it
+            # (identical to the scan path's per-point poisoning, since point
+            # data IS the station data).  Skipped when grid sources overlay
+            # the stations (they may fill the gaps); the in-kernel
+            # CheckValues containment then owns missing-data failure.
+            if not grid_srcs:
+                required = ("tair", "rhz", "prec", "sw", "lw", "vz")
+                ok_st = np.ones(len(st_lats), bool)
+                for name in required:
+                    missing = np.asarray(getattr(raw_st, name)) < -9000.0
+                    bad = missing.any(axis=1)
+                    for i in np.where(bad & ok_st)[0]:
+                        if verbose:
+                            t_bad = int(np.argmax(missing[i]))
+                            print(f"{name} missing at step {t_bad} "
+                                  f"{st_lats[i]:.4f} {st_lons[i]:.4f}")
+                    ok_st &= ~bad
+                if verbose and (~ok_st).any():
+                    print(f"Skipping points mapped to {int((~ok_st).sum())} "
+                          f"stations with missing required input")
+                tair_p = np.asarray(raw_st.tair).copy()
+                tair_p[~ok_st, :] = -9999.9
+                raw_st = raw_st._replace(tair=tair_p)
+
+            anchors_st = (relax_anchors(raw_st, pts_st)
+                          if settings.use_relaxation else None)
+            ok = st_idx >= 0
+            ie = np.where(ok, st_idx, 0)
+            g = lambda a, fill: np.where(ok, np.asarray(a)[ie], fill)
+        else:
+            if settings.use_coupling and verbose:
+                print("No station sources: coupling inactive (grid obs are "
+                      "unsupported in the streamed engine)")
+            st_idx = np.full(P, -1, np.int64)
+            ok = np.zeros(P, bool)
+            anchors_st = None
+            g = lambda a, fill: np.full(P, fill)
 
         # expand per-point parameters from their stations
-        P = len(point_ids)
-        ok = st_idx >= 0
-        ie = np.where(ok, st_idx, 0)
-        g = lambda a, fill: np.where(ok, np.asarray(a)[ie], fill)
         pcfg = config.get("parameters", {}) or {}
         svf, horizons = sky_variables(point_ids, pcfg.get("sky_view_file"),
                                       pcfg.get("local_horizon_file"))
         default_init = 1 + int((now - start) / settings.dt)
         init_len = (g(pts_st.init_len, 1).astype(np.int32)
-                    if settings.use_relaxation
+                    if settings.use_relaxation and have_st
                     else np.full(P, default_init, np.int32))
         pts = PointParams(
             lat=np.asarray(lats, np.float64),
@@ -398,15 +419,23 @@ def run_production_config(config, settings, cal, sim_epochs, now, start, *,
             sky_view=np.asarray(svf, np.float64),
             horizons=np.asarray(horizons, np.float64),
             init_len=init_len,
-            tair_relax=g(pts_st.tair_relax, -9999.9),
-            vz_relax=g(pts_st.vz_relax, -9999.9),
-            rh_relax=g(pts_st.rh_relax, -9999.9),
-            coupling_start=g(pts_st.coupling_start, -99).astype(np.int32),
-            coupling_end=g(pts_st.coupling_end, -99).astype(np.int32),
-            coupling_tsurf=g(pts_st.coupling_tsurf, -9999.9),
+            tair_relax=(g(pts_st.tair_relax, -9999.9) if have_st
+                        else np.full(P, -9999.9)),
+            vz_relax=(g(pts_st.vz_relax, -9999.9) if have_st
+                      else np.full(P, -9999.9)),
+            rh_relax=(g(pts_st.rh_relax, -9999.9) if have_st
+                      else np.full(P, -9999.9)),
+            coupling_start=(g(pts_st.coupling_start, -99).astype(np.int32)
+                            if have_st else np.full(P, -99, np.int32)),
+            coupling_end=(g(pts_st.coupling_end, -99).astype(np.int32)
+                          if have_st else np.full(P, -99, np.int32)),
+            coupling_tsurf=(g(pts_st.coupling_tsurf, -9999.9) if have_st
+                            else np.full(P, -9999.9)),
             out_depth=np.full(P, -9999.9))
         anchors = (tuple(np.asarray(g(a, -9999.9)) for a in anchors_st)
                    if anchors_st is not None else None)
+        if settings.use_relaxation and anchors is None:
+            anchors = tuple(np.full(P, -9999.9) for _ in range(3))
         model = Model(settings, PhysicsParams.from_json(settings, pcfg))
 
     with metrics.phase("init"):
@@ -414,13 +443,80 @@ def run_production_config(config, settings, cal, sim_epochs, now, start, *,
         p_pad = production.padded_points(P, mesh)
         if not chunk_t:        # 0/None = size chunks for the point count
             chunk_t = production.auto_chunk_t(p_pad)
-        st_idx_pad = np.pad(np.asarray(st_idx), (0, p_pad - P),
-                            constant_values=-1)
-        expander = production.StationExpander(raw_st, st_idx_pad, mesh,
-                                              chunk_t=chunk_t)
+        # expander parts in config-source order (overlay semantics); all
+        # station sources collapse into one part at the first station
+        # source's position (DataHandler.merged already overlays them)
+        parts = []
+        if have_st:
+            st_idx_pad = np.pad(np.asarray(st_idx), (0, p_pad - P),
+                                constant_values=-1)
+            st_pos = min(i for i, s in enumerate(handler.sources)
+                         if not hasattr(s, "at_points"))
+            parts.append((st_pos, production.StationExpander(
+                raw_st, st_idx_pad, mesh, chunk_t=chunk_t)))
+        if grid_srcs:
+            lat_pad = production._pad_tail(np.asarray(lats, np.float64),
+                                           p_pad)
+            lon_pad = production._pad_tail(np.asarray(lons, np.float64),
+                                           p_pad)
+            for i, s in grid_srcs:
+                parts.append((i, production.GridExpander(
+                    s.times, s.lats, s.lons, s.fields, lat_pad, lon_pad,
+                    sim_epochs, mesh, chunk_t=chunk_t)))
+        parts = [p for _, p in sorted(parts, key=lambda t: t[0])]
+        expander = (parts[0] if len(parts) == 1
+                    else production.CompositeExpander(parts))
+
+        if grid_srcs and have_st and settings.use_relaxation:
+            # the relaxation fields read the MERGED overlay (read_input works
+            # on DataManager-merged per-point arrays, roadrunner.cpp:157-278)
+            # -- re-derive them per point: the anchor step comes from the
+            # station obs, the values from grid+station overlay at that step
+            from .io.driver import latest_obs_index
+
+            def merged_at(step_p, names):
+                """Overlay values at per-point 0-based sim steps (-1 = skip);
+                {name: [P]}.  Unique steps are few (shared obs end times)."""
+                out_v = {n: np.full(P, -9999.9) for n in names}
+                vp = step_p >= 0
+                uniq = np.unique(step_p[vp])
+                rows = np.arange(P)
+                for lo_u in range(0, len(uniq), 64):
+                    sel = uniq[lo_u:lo_u + 64]
+                    met = expander.host_at(sel, names)
+                    j = np.searchsorted(sel, np.clip(step_p, sel[0], None))
+                    hit = vp & (j < len(sel))
+                    jc = np.clip(j, 0, len(sel) - 1)
+                    hit &= sel[jc] == np.where(vp, step_p, -1)
+                    for n in names:
+                        out_v[n] = np.where(hit, met[n][:P][rows, jc],
+                                            out_v[n])
+                return out_v
+
+            last_p = g(latest_obs_index(obs_tair_st), -9999).astype(np.int64)
+            has_p = last_p > -1
+            init_len = np.where(has_p, last_p, 1).astype(np.int32)
+            # X_R values at the one-past-the-obs read index (driver quirk,
+            # io.driver.derive_point_params)
+            vals_r = merged_at(
+                np.where(has_p, np.clip(last_p, 0, sim_len - 1), -1),
+                ("tair", "vz", "rhz"))
+            # anchors X_initEnd at init_len-1, first-step wind floor applied
+            # (forcing.relax_anchors semantics)
+            idx_a = np.clip(init_len.astype(np.int64) - 1, 0, sim_len - 1)
+            vals_a = merged_at(idx_a, ("tair", "vz", "rhz"))
+            vz_a = np.where(idx_a == 0, np.maximum(vals_a["vz"], 0.4),
+                            vals_a["vz"])
+            pts = pts._replace(
+                init_len=init_len,
+                tair_relax=np.where(has_p, vals_r["tair"], -9999.9),
+                vz_relax=np.where(has_p, vals_r["vz"], -9999.9),
+                rh_relax=np.where(has_p, vals_r["rhz"], -9999.9))
+            anchors = (vals_a["tair"], vz_a, vals_a["rhz"])
+
         date0 = (int(cal.year[0]), int(cal.month[0]), int(cal.day[0]))
-        first = lambda name: g(np.asarray(getattr(raw_st, name))[:, 0],
-                               -9999.9)
+        first = lambda name: np.asarray(expander.first_host[name][:P],
+                                        np.float64)
 
         @jax.jit  # one compile instead of an eager dispatch storm at 1M pts
         def _init(t0v, vz0, rh0, ts0):
@@ -465,17 +561,16 @@ def run_production_config(config, settings, cal, sim_epochs, now, start, *,
         if out_path and out_path.endswith(".npz") and pset.mode == "grid":
             from .io.writer import write_forecast_grid
             from .physics.moisture import tdew_from_rh
-            # tair/tdew grids at the output steps only (station -> points)
-            ta_st = np.asarray(raw_st.tair)[:, res.out_steps]
-            td_st = np.asarray(raw_st.tdew)[:, res.out_steps]
-            rh_st = np.asarray(raw_st.rhz)[:, res.out_steps]
-            need = (td_st < -100.0) & (ta_st > -100.0) & (rh_st > -100.0)
-            td_st = np.where(need, np.asarray(tdew_from_rh(ta_st, rh_st)),
-                             td_st)
-            exp2 = lambda a: np.where(ok[None, :], a[ie].T, -9999.9)
+            # tair/tdew per point at the output steps only
+            met = expander.host_at(res.out_steps)
+            ta_p = met["tair"][:P]
+            td_p = met["tdew"][:P]
+            rh_p = met["rhz"][:P]
+            need = (td_p < -100.0) & (ta_p > -100.0) & (rh_p > -100.0)
+            td_p = np.where(need, np.asarray(tdew_from_rh(ta_p, rh_p)), td_p)
             write_forecast_grid(out_path, pset.grid_lats, pset.grid_lons,
                                 pset.keep, epochs_out, fields,
-                                exp2(ta_st), exp2(td_st), output_stride=1)
+                                ta_p.T, td_p.T, output_stride=1)
             if verbose:
                 print(f"Wrote {out_path}")
         elif out_path:
