@@ -94,7 +94,19 @@ def relax_anchors(raw: RawForcing, pts: PointParams):
     """Relaxation anchor values (X_initEnd, src/Relaxation.f90:10-47): the
     forcing at the 0-based anchor step init_len-1, with the first-step wind
     floor applied first (Initialization.f90:121-123).  raw: [P, T];
-    returns ([P] tair, vz, rhz)."""
+    returns ([P] tair, vz, rhz).
+
+    numpy in -> numpy out (the ingest data plane must stay device-free so
+    it never blocks on a remote accelerator claim); jax in -> jnp out."""
+    import jax
+    if not isinstance(raw.tair, jax.Array):
+        tair = np.asarray(raw.tair)
+        vz = np.array(raw.vz)
+        rhz = np.asarray(raw.rhz)
+        vz[..., 0] = np.maximum(vz[..., 0], 0.4)
+        t0 = np.maximum(np.asarray(pts.init_len, np.int64) - 1, 0)[..., None]
+        anchor = lambda x: np.take_along_axis(x, t0, axis=-1)[..., 0]
+        return anchor(tair), anchor(vz), anchor(rhz)
     tair = jnp.asarray(raw.tair)
     vz = jnp.asarray(raw.vz)
     rhz = jnp.asarray(raw.rhz)
