@@ -130,7 +130,11 @@ def nearest_station_index(st_lats, st_lons, lats, lons,
         cKDTree = None
     if cKDTree is not None and len(st_lats) >= 8:
         # nearest by 3D chord distance == nearest great-circle (monotonic);
-        # the radius check stays in haversine km for exact threshold parity
+        # the radius check stays in haversine km for exact threshold parity.
+        # On exact/near-exact distance ties the KD-tree's winner may differ
+        # from the brute-force path's lowest-index argmin (float rounding,
+        # implementation-defined tie order) -- accepted: the reference's
+        # NearTree makes no tie promise either (ex2/RoadSurfSource.cpp:542)
         def unit(lat, lon):
             la, lo = np.radians(lat), np.radians(lon)
             cl = np.cos(la)

@@ -57,7 +57,13 @@ def parse_times(strings) -> np.ndarray:
     if not len(strings):
         return np.zeros(0, np.int64)
     try:
-        arr = np.array([s.strip().replace(" ", "T") for s in strings],
+        stripped = [s.strip() for s in strings]
+        # only canonical "YYYY-MM-DD HH:MM" takes the lenient vectorized
+        # path; anything else (date-only, seconds, ...) must go through the
+        # reference's strict strptime format and raise as the C++ does
+        if any(len(s) != 16 for s in stripped):
+            raise ValueError("non-canonical timestamp shape")
+        arr = np.array([s.replace(" ", "T") for s in stripped],
                        dtype="datetime64[s]")
         return arr.astype(np.int64)
     except ValueError:

@@ -93,13 +93,23 @@ class Model:
         modelInput%depth)."""
         if self.cfg.use_depth:
             return None
+        import jax
+
         from .parallel.distributed import host_any
-        if jnp.ndim(pts.out_depth) == 0 or pts.out_depth.shape[0] == 0 \
-                or not host_any(pts.out_depth >= 0.0):
+        od = pts.out_depth
+        if jnp.ndim(od) == 0 or np.shape(od)[0] == 0:
+            return None
+        if isinstance(od, jax.Array) and not od.is_fully_addressable:
+            # multi-process global array: gather to every host before the
+            # numpy coefficient derivation below
+            from jax.experimental import multihost_utils
+            od = np.asarray(multihost_utils.process_allgather(od))
+        else:
+            od = np.asarray(od)
+        if not host_any(od >= 0.0):
             return None
         from .grid import depth_interp_coeffs_vec
-        idx, w, use = depth_interp_coeffs_vec(self.grid,
-                                              np.asarray(pts.out_depth))
+        idx, w, use = depth_interp_coeffs_vec(self.grid, od)
         return (jnp.asarray(idx), jnp.asarray(w, dtype or jnp.float64),
                 jnp.asarray(use))
 

@@ -109,7 +109,8 @@ class Progress:
         self._t0 = time.perf_counter()
 
     def update(self, steps: int):
-        self.done += steps
+        # chunk updates may overshoot on the padded tail; clamp to total
+        self.done = min(self.done + steps, self.total)
         now = time.perf_counter()
         if now - self._last >= self.every or self.done >= self.total:
             rate = self.done / max(now - self._t0, 1e-9)

@@ -58,8 +58,11 @@ def build_times(config: dict, forecast_time: Optional[int], dt: float):
 
 def _resolve_engine(engine: str, settings, config) -> str:
     """'auto' picks the streamed Pallas engine on real TPU hardware (coupled
-    runs use the segmented production driver); CPU runs and per-point output
-    depths use the XLA scan engine."""
+    runs use the segmented production driver); CPU runs use the XLA scan
+    engine.  The config path never sets per-point output depths (the
+    reference's tsurfOutputDepth is global, ex1/InputSettings.h:20); library
+    callers who build PointParams with per-point out_depth must pass
+    engine='scan' explicitly -- the production engine raises on it."""
     if engine != "auto":
         return engine
     import jax

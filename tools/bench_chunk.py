@@ -1,0 +1,185 @@
+"""Dissect the production stream chunk cost on the real TPU.
+
+One streaming chunk = expand (station->point gather) -> prepare_window ->
+pack_forcing -> whole-scan Pallas kernel, fused in one jit
+(production._Engine.chunk_fn).  This tool times the pieces:
+
+  kernel   pallas_scan_sharded alone on a fixed packed forcing chunk
+  prep     expand + prepare_window + pack_forcing alone (forcing production)
+  full     the real chunk fn (prep + kernel in one jit)
+
+Rates are point-steps/s over chunk_t * P.  Run after the chip is idle.
+
+Usage: python tools/bench_chunk.py [--points 1048576] [--chunk-t 64]
+         [--stations 2048] [--reps 20] [--grid]   (--grid: GridExpander)
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--points", type=int, default=1048576)
+    ap.add_argument("--chunk-t", type=int, default=64)
+    ap.add_argument("--stations", type=int, default=2048)
+    ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--grid", action="store_true",
+                    help="bench the GridExpander path instead of stations")
+    ap.add_argument("--grid-ny", type=int, default=300)
+    ap.add_argument("--grid-nx", type=int, default=400)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from roadsurf_tpu import production
+    from roadsurf_tpu.config import ModelSettings
+    from roadsurf_tpu.forcing import Calendar
+    from roadsurf_tpu.io.synthetic import synthetic_raw
+    from roadsurf_tpu.model import Model
+    from roadsurf_tpu.parallel.sharding import make_mesh
+    from roadsurf_tpu.state import default_point_params, init_state
+
+    P0, S, chunk_t = args.points, args.stations, args.chunk_t
+    T = 8 * chunk_t + 1
+    dt = 30.0
+    settings = ModelSettings(sim_len=T, dt=dt, use_relaxation=False)
+    model = Model(settings)
+    rng = np.random.default_rng(7)
+    raw_st, cal = synthetic_raw(S, T, dt=dt, seed=7, scenario="winter_mix",
+                                dtype=np.float32)
+
+    mesh = make_mesh()
+    p_pad = production.padded_points(P0, mesh)
+    if args.grid:
+        t0e = 1575158400
+        sim = t0e + (dt * np.arange(T)).astype(np.int64)
+        times = t0e + 3600 * np.arange(1 + int(T * dt // 3600) + 1,
+                                       dtype=np.int64)
+        ny, nx = args.grid_ny, args.grid_nx
+        glats = np.linspace(59.6, 70.1, ny)
+        glons = np.linspace(20.5, 31.6, nx)
+        R = len(times)
+        fields = {n: rng.normal(0.0 if n in ("prec", "sw", "sw_dir") else
+                                -3.0, 2.0, (R, ny, nx))
+                  for n in ("tair", "tdew", "rhz", "vz", "prec", "sw", "lw")}
+        fields["rhz"] = np.abs(fields["rhz"]) + 60.0
+        fields["vz"] = np.abs(fields["vz"]) + 1.0
+        fields["prec"] = np.abs(fields["prec"])
+        fields["sw"] = np.abs(fields["sw"])
+        fields["lw"] = 280.0 + fields["lw"]
+        fields["prec_phase"] = rng.integers(0, 4, (R, ny, nx)).astype(float)
+        plat = rng.uniform(59.6, 70.1, p_pad)
+        plon = rng.uniform(20.5, 31.6, p_pad)
+        t0w = time.perf_counter()
+        expander = production.GridExpander(times, glats, glons, fields,
+                                           plat, plon, sim, mesh,
+                                           chunk_t=chunk_t)
+        build_s = time.perf_counter() - t0w
+        print(f"GridExpander build (host bilinear {len(fields)} vars x "
+              f"{R} samples x {p_pad} pts): {build_s:.1f}s  "
+              f"KW={expander.KW} SPAN={expander.SPAN}", file=sys.stderr)
+    else:
+        st_idx_pad = rng.integers(0, S, size=p_pad)
+        expander = production.StationExpander(raw_st, st_idx_pad, mesh,
+                                              chunk_t=chunk_t)
+
+    pts = default_point_params(P0)._replace(
+        lat=58.0 + rng.uniform(0, 6, P0), lon=20.0 + rng.uniform(0, 10, P0))
+    first = {n: np.asarray(expander.first_host[n][:P0], np.float64)
+             for n in ("tair", "vz", "rhz", "tsurf_obs")}
+    date0 = (int(cal.year[0]), int(cal.month[0]), int(cal.day[0]))
+    state0 = jax.jit(lambda a, b, c, d: init_state(
+        settings, model.params, model.grid, a, b, c, d, date0,
+        depth_idx=model.cfg.depth_idx, depth_w=model.cfg.depth_w,
+        use_depth=model.cfg.use_depth, dtype=jnp.float32))(
+            np.where(first["tair"] > -100, first["tair"], -3.0),
+            np.where(first["vz"] > -100, first["vz"], 3.0),
+            np.where(first["rhz"] > -100, first["rhz"], 80.0),
+            first["tsurf_obs"])
+
+    eng = production._Engine(model, expander, pts, cal, state0, mesh=mesh,
+                             chunk_t=chunk_t)
+    fn = eng.chunk_fn(chunk_t, False)
+
+    # prep-only jit: identical expansion work, no kernel
+    from roadsurf_tpu.forcing import prepare_window
+    from roadsurf_tpu.ops import pallas_step as ps
+
+    @jax.jit
+    def prep_fn(t0, data):
+        rawT = expander.window(data["exp"], t0, chunk_t)
+        hr = jax.lax.dynamic_slice_in_dim(data["hour"], t0, chunk_t)
+        prep = prepare_window(rawT, data["pts"], hr, settings, eng.params,
+                              t_offset=t0, t_total=eng.T, anchors=None,
+                              jde=None, enable_skyview=False)
+        ones = jnp.ones(prep.tair.shape, jnp.float32)
+        return ps.pack_forcing(prep, ones, ones, data["obs"])
+
+    # kernel-only jit on a fixed forcing chunk
+    from roadsurf_tpu.parallel.sharding import pallas_scan_sharded
+
+    @jax.jit
+    def kernel_fn(tmp, scal, forc, t0):
+        return pallas_scan_sharded(
+            tmp, scal, forc, eng.cfg, eng.params, eng.grid, mesh,
+            out_stride=eng.os_, chunk_t=eng.inner_chunk_t,
+            bl_iters=eng.bl_iters, interpret=eng.interpret,
+            nsteps=chunk_t, out_offset=t0, n_out=eng.k_alloc)
+
+    def time_loop(label, step, warm=2):
+        for _ in range(warm):
+            step(0)
+        jax.block_until_ready(step(0))
+        t0w = time.perf_counter()
+        for r in range(args.reps):
+            out = step(r % 4)
+        jax.block_until_ready(out)
+        dtw = (time.perf_counter() - t0w) / args.reps
+        rate = P0 * chunk_t / dtw
+        print(f"{label}: {dtw * 1e3:.1f} ms/chunk = {rate / 1e6:.0f} M "
+              f"point-steps/s", file=sys.stderr)
+        return dtw
+
+    forc0 = prep_fn(np.int32(0), eng.data)
+    jax.block_until_ready(forc0)
+
+    state = {"tmp": eng.tmp0, "scal": eng.scal0}
+
+    def full_step(k):
+        tmp, scal, rows = fn(state["tmp"], state["scal"],
+                             np.int32(k * chunk_t), eng.data)
+        state["tmp"], state["scal"] = tmp, scal
+        return scal
+
+    def kernel_step(k):
+        tmp, scal, rows = kernel_fn(state["tmp"], state["scal"], forc0,
+                                    np.int32(k * chunk_t))
+        state["tmp"], state["scal"] = tmp, scal
+        return scal
+
+    def prep_step(k):
+        return prep_fn(np.int32(k * chunk_t), eng.data)
+
+    t_full = time_loop("full chunk (prep+kernel)", full_step)
+    t_kern = time_loop("kernel only", kernel_step)
+    t_prep = time_loop("prep only (expand+prepare+pack)", prep_step)
+
+    print(json.dumps({
+        "mode": "grid" if args.grid else "stations",
+        "points": P0, "chunk_t": chunk_t,
+        "full_ms": round(t_full * 1e3, 1),
+        "kernel_ms": round(t_kern * 1e3, 1),
+        "prep_ms": round(t_prep * 1e3, 1),
+        "full_Mpts_per_s": round(P0 * chunk_t / t_full / 1e6, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] if len(sys.argv) > 1 else [])
