@@ -99,15 +99,16 @@ class Model:
         od = pts.out_depth
         if jnp.ndim(od) == 0 or np.shape(od)[0] == 0:
             return None
+        if not host_any(jnp.asarray(od) >= 0.0):
+            return None
         if isinstance(od, jax.Array) and not od.is_fully_addressable:
-            # multi-process global array: gather to every host before the
-            # numpy coefficient derivation below
+            # multi-process global array with depths set: gather to every
+            # host before the numpy coefficient derivation below
             from jax.experimental import multihost_utils
-            od = np.asarray(multihost_utils.process_allgather(od))
+            od = np.asarray(multihost_utils.process_allgather(od,
+                                                              tiled=True))
         else:
             od = np.asarray(od)
-        if not host_any(od >= 0.0):
-            return None
         from .grid import depth_interp_coeffs_vec
         idx, w, use = depth_interp_coeffs_vec(self.grid, od)
         return (jnp.asarray(idx), jnp.asarray(w, dtype or jnp.float64),

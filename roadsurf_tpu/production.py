@@ -28,6 +28,7 @@ This is the engine behind ``runner.py --engine pallas`` and
 from __future__ import annotations
 
 import time as timelib
+from functools import partial
 from typing import NamedTuple, Optional, Sequence
 
 import jax
@@ -46,6 +47,16 @@ from .state import PointParams, State
 
 OUT_FIELD_ROWS = {"tsurf": ps.R_TSURF, "wat": ps.R_WAT, "snow": ps.R_SNOW,
                   "ice": ps.R_ICE, "ice2": ps.R_ICE2, "dep": ps.R_DEP}
+
+
+def _to_host(x) -> np.ndarray:
+    """Device -> host numpy; multi-process global arrays are allgathered
+    (every host sees the full array -- fine for tests/metrics; operational
+    multi-host output writes per-shard via the writers instead)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
 
 
 def padded_points(n_points: int, mesh) -> int:
@@ -631,19 +642,29 @@ class _Engine:
                 self.jde_dev = jax.device_put(
                     _pad_tail(np.asarray(cal.jde, fdt), t_pad), rep)
 
-            # packed state; padded points marked failed -> frozen at step 0
-            state_pad = _pad_state(state, self.P_pad)
-            tmp0, scal0 = ps.pack_state(state_pad)
-            self.tmp0 = jax.device_put(np.asarray(tmp0), sh_cols(mesh_))
-            scal = np.array(scal0)
-            scal[ps.R_FAILED, self.n_real:] = 1.0
-            self.scal0 = jax.device_put(scal, sh_cols(mesh_))
+            # packed state; padded points marked failed -> frozen at step 0.
+            # Padding + packing run ON DEVICE (jit with sharded outputs): a
+            # host round trip of the [P]-sized state costs ~10 s over a
+            # remote-device tunnel at 1M points
+            n_real, p_pad = self.n_real, self.P_pad
+
+            @partial(jax.jit, out_shardings=(sh_cols(mesh_), sh_cols(mesh_)))
+            def _pad_pack(st):
+                def padleaf(x):
+                    x = jnp.asarray(x)
+                    w = [(0, p_pad - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+                    return jnp.pad(x, w, mode="edge")
+                tmp, scal = ps.pack_state(jax.tree.map(padleaf, st))
+                scal = scal.at[ps.R_FAILED, n_real:].set(1.0)
+                return tmp, scal
+
+            self.tmp0, self.scal0 = _pad_pack(state)
             # unpack template for phase transitions (coupled driver): only
             # the pytree structure and dtypes matter (unpack_state replaces
             # every leaf), so keep it scalar -- a full-size template would be
             # baked into the phase-B HLO as constants
             self.template = jax.tree.map(
-                lambda x: jnp.zeros((), jnp.asarray(x).dtype), state_pad)
+                lambda x: jnp.zeros((), jnp.asarray(x).dtype), state)
 
         self.fn_cache = {}
         # fixed output-row allocation: the max stride hits any chunk can
@@ -757,7 +778,7 @@ class _Engine:
         def drain(item):
             steps, probe = item
             if steps:
-                collected.append((steps, np.asarray(probe)[:len(steps)]))
+                collected.append((steps, _to_host(probe)[:len(steps)]))
             else:
                 probe.block_until_ready()   # backpressure without output rows
             if progress:
@@ -796,7 +817,7 @@ class _Engine:
                       for name, r in OUT_FIELD_ROWS.items()}
 
             final = ps.unpack_state(
-                np.asarray(tmp), np.asarray(scal), self.grid.nlayers,
+                _to_host(tmp), _to_host(scal), self.grid.nlayers,
                 self.template)
             final = jax.tree.map(
                 lambda x: jnp.asarray(np.asarray(x)[:self.n_real]), final)
@@ -950,7 +971,3 @@ def sh_cols(mesh):
     """Sharding for [rows, P]-shaped packed state."""
     return NamedSharding(mesh, P(None, POINTS))
 
-
-def _pad_state(state: State, n: int) -> State:
-    return jax.tree.map(lambda x: jnp.asarray(_pad_tail(np.asarray(x), n)),
-                        state)

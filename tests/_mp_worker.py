@@ -69,7 +69,35 @@ def main():
     cnt, ratio = failure_stats(final.failed, mesh)
     assert int(cnt) == 0 and float(ratio) == 0.0
 
-    print(f"MP_OK {pid} checked={checked}")
+    # --- the STREAMED production engine across processes ---------------
+    # station channels replicate to every host; per-point data is global
+    # device_put over the multi-process mesh; output drain allgathers
+    import jax.numpy as jnp
+
+    from roadsurf_tpu import production
+    from roadsurf_tpu.forcing import RawForcing
+
+    P2 = 128 * len(jax.devices())
+    S = 6
+    raw_st, cal2 = synthetic_raw(S, T, seed=9, scenario="winter_mix",
+                                 dtype=np.float32)
+    st_idx = (np.arange(P2) * 7) % S
+    exp = production.StationExpander(raw_st, st_idx, mesh, chunk_t=16)
+    raw_pt = RawForcing(*(np.asarray(getattr(raw_st, n))[st_idx]
+                          for n in RawForcing._fields))
+    pts2 = default_point_params(P2)
+    state0 = jax.tree.map(np.asarray,
+                          model.init(raw_pt, cal2, dtype=jnp.float32))
+    res = production.run_production(model, exp, pts2, cal2, state0,
+                                    mesh=mesh, chunk_t=16, out_stride=8,
+                                    interpret=True)
+    _, out_ref2 = model.run(raw_pt, pts2, cal2)
+    want = np.asarray(out_ref2.tsurf)[::8]
+    np.testing.assert_allclose(res.fields["tsurf"], want,
+                               rtol=2e-4, atol=2e-3)
+    assert not np.asarray(res.state.failed).any()
+
+    print(f"MP_OK {pid} checked={checked} prod={res.fields['tsurf'].shape}")
 
 
 if __name__ == "__main__":

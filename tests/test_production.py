@@ -226,3 +226,43 @@ def test_production_coupled_no_window_falls_back():
     for name in res.fields:
         np.testing.assert_array_equal(res.fields[name],
                                       res_unc.fields[name], err_msg=name)
+
+
+def test_production_warm_start_cycle(tmp_path):
+    """Rolling forecast cycle through the streamed engine: checkpoint_out ->
+    checkpoint_in across two CLI runs, parity vs the scan engine's warm
+    start (the RoadSurfSource rolling-cycle mechanism,
+    examples/example2/src/RoadSurfSource.cpp:516-616, done as state
+    checkpoints)."""
+    import json
+
+    import test_io
+    from roadsurf_tpu import runner
+
+    fc, ob, t0 = test_io._write_full_inputs(tmp_path)
+    out1 = tmp_path / "o1.json"
+    cfgp = test_io._write_config(tmp_path, fc, ob, out1)
+
+    ck_s = tmp_path / "ck_scan.npz"
+    ck_p = tmp_path / "ck_pal.npz"
+    runner.run(str(cfgp), checkpoint_out=str(ck_s), verbose=False,
+               engine="scan")
+    runner.run(str(cfgp), checkpoint_out=str(ck_p), verbose=False,
+               engine="pallas")
+    zs, zp = np.load(ck_s), np.load(ck_p)
+    assert list(zs["point_ids"]) == list(zp["point_ids"])
+    np.testing.assert_allclose(zp["tmp"], zs["tmp"], rtol=1e-4, atol=5e-3)
+
+    # cycle 2: warm-started from cycle 1's checkpoint, both engines
+    st_s, f_s = runner.run(str(cfgp), checkpoint_in=str(ck_s),
+                           verbose=False, engine="scan")
+    st_p, f_p = runner.run(str(cfgp), checkpoint_in=str(ck_p),
+                           verbose=False, engine="pallas")
+    steps = f_p["steps"]
+    np.testing.assert_allclose(f_p["tsurf"], f_s["tsurf"][steps],
+                               rtol=1e-4, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(st_p.tmp), np.asarray(st_s.tmp),
+                               rtol=1e-4, atol=5e-3)
+    # and the warm start actually changed the early trajectory
+    st_c, f_c = runner.run(str(cfgp), verbose=False, engine="pallas")
+    assert not np.allclose(f_p["tsurf"][0], f_c["tsurf"][0])
