@@ -631,11 +631,33 @@ def run_window_passes(state: State, provider, valid_win, ws: int, we_b: int,
         c, _ = jax.lax.scan(row_fn, c, xs)
         return c, None
 
-    t0s = ws - 1 + wchunk * jnp.arange(nchunks, dtype=jnp.int32)
-
     def pass_body(carry_n):
         carry, n = carry_n
-        carry, _ = jax.lax.scan(chunk_body, carry, t0s)
+        st0_, cv0_, _, _, _, mode0, rr0, _ = carry
+        # pass-narrowing: a re-run pass only needs the chunks covering the
+        # still-rewinding points' [min start, max end]; the tail pass only
+        # the rows past the earliest coupled window end.  Masked rows are
+        # exact no-ops, so skipping their chunks is bitwise-identical --
+        # it just cuts the worst-case replay (<=25x) to the active span.
+        big = jnp.int32(2 * T + 2)
+        is_rerun0 = mode0 == M_RERUN
+        is_tail0 = mode0 == M_TAIL
+        lo_rr = jnp.min(jnp.where(rr0, start_i, big))
+        hi_rr = jnp.max(jnp.where(rr0, end_i, -1))
+        lo_tail = jnp.min(jnp.where(coupled, end_i, big)) + 1
+        lo_i = jnp.where(is_rerun0, lo_rr,
+                         jnp.where(is_tail0, lo_tail, jnp.int32(ws)))
+        hi_i = jnp.where(is_rerun0, hi_rr, jnp.int32(we_b))
+        k_lo = jnp.clip((lo_i - ws) // wchunk, 0, nchunks).astype(jnp.int32)
+        k_hi = jnp.clip((hi_i - ws) // wchunk + 1, k_lo,
+                        nchunks).astype(jnp.int32)
+
+        def body(k, c):
+            t0 = (ws - 1 + wchunk * k).astype(jnp.int32)
+            c, _ = chunk_body(c, t0)
+            return c
+
+        carry = jax.lax.fori_loop(k_lo, k_hi, body, carry)
         st, cv, snap, choice, out, mode, rr, vf = carry
         # transition: enter (another) re-run round while any point's control
         # asked to rewind, else run the tail exactly once, then stop
