@@ -36,6 +36,9 @@ def _depth_config(settings: ModelSettings, grid: LayerGrid) -> StepConfig:
     use_depth = settings.tsurf_output_depth >= 0.0
     if use_depth:
         idx, w = depth_interp_coeffs(grid, settings.tsurf_output_depth)
+        # weak-typed python scalars: an np.float64 weight would promote the
+        # float32 state through surface_average
+        idx, w = int(idx), float(w)
     else:
         idx, w = 1, 0.0
     return StepConfig.from_settings(settings, depth_idx=idx, depth_w=w,
