@@ -13,6 +13,9 @@
 //                            (semantics of JsonSource.cpp:49-176)
 //   rs_parse_ascii_obs     : fixed-column ASCII obs rows -> epoch + columns
 //                            (AsciiSource.cpp row format)
+//   rs_grid_at_points      : missing-aware bilinear / nearest-valid-corner
+//                            extraction of [R, ny, nx] grids at P points
+//                            (QueryDataSource.cpp:931 InterpolatedValue)
 //   rs_version             : ABI version tag
 
 #include <algorithm>
@@ -143,7 +146,7 @@ void interp_one(const int64_t* raw_t, int64_t nraw, const int64_t* sim_t,
 
 extern "C" {
 
-int rs_version() { return 1; }
+int rs_version() { return 2; }
 
 // Batched interpolation over stations x variables.
 //
@@ -235,6 +238,88 @@ int64_t rs_parse_ascii_obs(const char* text, int64_t nbytes,
     ++row;
   }
   return row;
+}
+
+// Gridded-field extraction at points: missing-aware bilinear (mode 0,
+// corner weights renormalized over valid corners) or nearest-valid-corner
+// (mode 1, categorical fields; largest weight wins, ties in corner order).
+// Mirrors io/gridsource.py bilinear_at_points / nearest_corner_at_points
+// expression-for-expression so both paths agree bitwise in float64.
+//
+// field: [R, ny, nx] row-major; lats [ny] ASCENDING (flip_y=1 means the
+// caller's grid was descending and row i maps to ny-1-i); lons [nx]
+// ascending; plat/plon [P]; out: [P, R] row-major.  Missing = NaN or
+// <= -9000; missing output = -9999.9.
+void rs_grid_at_points(const double* field, int64_t R, int64_t ny, int64_t nx,
+                       const double* lats, const double* lons,
+                       const double* plat, const double* plon, int64_t P,
+                       int32_t flip_y, int32_t mode, double* out,
+                       int32_t nthreads) {
+  const double* la = lats;
+  const double* lo = lons;
+  auto missing = [](double v) { return std::isnan(v) || v <= -9000.0; };
+  const int64_t blk = 8192;
+  WorkQueue queue(nthreads);
+  for (int64_t b0 = 0; b0 < P; b0 += blk) {
+    const int64_t b1 = std::min(P, b0 + blk);
+    queue.submit([=] {
+      std::vector<int64_t> iy(b1 - b0), ix(b1 - b0);
+      std::vector<double> fy(b1 - b0), fx(b1 - b0);
+      std::vector<char> inside(b1 - b0);
+      for (int64_t p = b0; p < b1; ++p) {
+        // searchsorted(side='right') - 1, clipped to [0, n-2]
+        const double y = plat[p], x = plon[p];
+        int64_t jy = (int64_t)(std::upper_bound(la, la + ny, y) - la) - 1;
+        int64_t jx = (int64_t)(std::upper_bound(lo, lo + nx, x) - lo) - 1;
+        jy = std::max<int64_t>(0, std::min<int64_t>(jy, ny - 2));
+        jx = std::max<int64_t>(0, std::min<int64_t>(jx, nx - 2));
+        const double dy = la[jy + 1] - la[jy];
+        const double dx = lo[jx + 1] - lo[jx];
+        iy[p - b0] = jy;
+        ix[p - b0] = jx;
+        fy[p - b0] = dy > 0 ? (y - la[jy]) / dy : 0.0;
+        fx[p - b0] = dx > 0 ? (x - lo[jx]) / dx : 0.0;
+        inside[p - b0] =
+            (y >= la[0] && y <= la[ny - 1] && x >= lo[0] && x <= lo[nx - 1]);
+      }
+      for (int64_t r = 0; r < R; ++r) {
+        const double* f = field + r * ny * nx;
+        for (int64_t p = b0; p < b1; ++p) {
+          const int64_t i = p - b0;
+          const int64_t jy = iy[i], jx = ix[i];
+          const double wy = fy[i], wx = fx[i];
+          const double w[4] = {(1 - wy) * (1 - wx), (1 - wy) * wx,
+                               wy * (1 - wx), wy * wx};
+          double v[4];
+          for (int c = 0; c < 4; ++c) {
+            int64_t ry = jy + (c >> 1);
+            if (flip_y) ry = ny - 1 - ry;
+            v[c] = f[ry * nx + jx + (c & 1)];
+          }
+          double res = kMissing;
+          if (mode == 0) {
+            double acc = 0.0, wsum = 0.0;
+            for (int c = 0; c < 4; ++c)
+              if (!missing(v[c])) {
+                acc += v[c] * w[c];
+                wsum += w[c];
+              }
+            if (wsum > 1e-12 && inside[i]) res = acc / wsum;
+          } else {
+            double bw = -1.0;
+            for (int c = 0; c < 4; ++c)
+              if (!missing(v[c]) && w[c] > bw) {
+                bw = w[c];
+                res = v[c];
+              }
+            if (!inside[i]) res = kMissing;
+          }
+          out[p * R + r] = res;
+        }
+      }
+    });
+  }
+  queue.join_all();
 }
 
 }  // extern "C"

@@ -86,6 +86,27 @@ def _merge_directory(paths: Sequence[str]):
     return times, lats, lons, fields
 
 
+def _native_extract(field, lats, lons, plat, plon, mode: int):
+    """Multithreaded C++ extraction (native/roadsurf_native.cpp
+    rs_grid_at_points), expression-identical to the numpy paths below;
+    returns [..., P] or None when the library is unavailable."""
+    from . import native
+    if native.load() is None:
+        return None
+    f = np.asarray(field, np.float64)
+    if f.ndim < 2:
+        return None
+    la = np.asarray(lats, np.float64)
+    plat = np.atleast_1d(np.asarray(plat, np.float64))
+    plon = np.atleast_1d(np.asarray(plon, np.float64))
+    flip = len(la) > 1 and la[1] < la[0]
+    lead = f.shape[:-2]
+    out = native.grid_at_points(
+        f.reshape((-1,) + f.shape[-2:]), la[::-1] if flip else la, lons,
+        plat, plon, mode=mode, flip_y=flip)
+    return np.ascontiguousarray(out.T).reshape(lead + plat.shape)
+
+
 def bilinear_at_points(field: np.ndarray, lats: np.ndarray, lons: np.ndarray,
                        plat: np.ndarray, plon: np.ndarray) -> np.ndarray:
     """Bilinear extraction of ``field`` [..., ny, nx] at points [P].
@@ -94,6 +115,9 @@ def bilinear_at_points(field: np.ndarray, lats: np.ndarray, lons: np.ndarray,
     (newbase interpolation tolerates missing corners); all-missing or
     out-of-grid points are missing.  Returns [..., P].
     """
+    nat = _native_extract(field, lats, lons, plat, plon, mode=0)
+    if nat is not None:
+        return nat
     lats = np.asarray(lats, np.float64)
     lons = np.asarray(lons, np.float64)
     flip = len(lats) > 1 and lats[1] < lats[0]
@@ -144,6 +168,9 @@ def nearest_corner_at_points(field: np.ndarray, lats: np.ndarray,
     kFmiPrecipitationForm).  Deterministic tie-break in corner order.
     Returns exact field values, so downstream float32 handling is lossless.
     """
+    nat = _native_extract(field, lats, lons, plat, plon, mode=1)
+    if nat is not None:
+        return nat
     lats = np.asarray(lats, np.float64)
     lons = np.asarray(lons, np.float64)
     flip = len(lats) > 1 and lats[1] < lats[0]

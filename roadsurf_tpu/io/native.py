@@ -18,14 +18,20 @@ _LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libroadsurf_native.so"))
 _lib = None
 
 
+_ABI_VERSION = 2
+
+
 def load(build_if_missing: bool = False):
     """Load (optionally build) the native library; returns None if
     unavailable."""
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
-        if not build_if_missing:
+    src = os.path.join(os.path.abspath(_NATIVE_DIR), "roadsurf_native.cpp")
+    stale = (os.path.exists(_LIB_PATH) and os.path.exists(src)
+             and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+    if not os.path.exists(_LIB_PATH) or stale:
+        if not (build_if_missing or stale):
             return None
         try:
             subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
@@ -37,7 +43,7 @@ def load(build_if_missing: bool = False):
     except OSError:
         return None
     lib.rs_version.restype = ctypes.c_int
-    if lib.rs_version() != 1:
+    if lib.rs_version() != _ABI_VERSION:
         return None
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
     f64p = np.ctypeslib.ndpointer(np.float64, flags="C")
@@ -49,8 +55,35 @@ def load(build_if_missing: bool = False):
     lib.rs_parse_ascii_obs.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, i64p, f64p, ctypes.c_int64]
     lib.rs_parse_ascii_obs.restype = ctypes.c_int64
+    lib.rs_grid_at_points.argtypes = [
+        f64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, f64p, f64p,
+        f64p, f64p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, f64p,
+        ctypes.c_int32]
+    lib.rs_grid_at_points.restype = None
     _lib = lib
     return lib
+
+
+def grid_at_points(field, lats, lons, plat, plon, mode: int = 0,
+                   flip_y: bool = False, nthreads: int = 0):
+    """Bilinear (mode 0) / nearest-valid-corner (mode 1) extraction of a
+    [R, ny, nx] field at P points; returns [P, R] float64.  ``lats`` must be
+    ascending; pass flip_y=True when the field rows are ordered by the
+    original DESCENDING latitudes.  Requires the native library."""
+    lib = load()
+    assert lib is not None, "native library not available"
+    field = np.ascontiguousarray(field, np.float64)
+    R, ny, nx = field.shape
+    lats = np.ascontiguousarray(lats, np.float64)
+    lons = np.ascontiguousarray(lons, np.float64)
+    plat = np.ascontiguousarray(plat, np.float64)
+    plon = np.ascontiguousarray(plon, np.float64)
+    P = plat.shape[0]
+    out = np.empty((P, R), np.float64)
+    lib.rs_grid_at_points(field.reshape(-1), R, ny, nx, lats, lons, plat,
+                          plon, P, 1 if flip_y else 0, mode,
+                          out.reshape(-1), nthreads)
+    return out
 
 
 def interpolate_columns(station_offsets, raw_times, sim_times, values,

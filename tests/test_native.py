@@ -114,3 +114,43 @@ def test_batch_interpolate_stations_matches_fallback():
         assert set(g) == set(S.VAR_NAMES)
         for k in S.VAR_NAMES:
             np.testing.assert_allclose(g[k], r[k], rtol=1e-12, err_msg=k)
+
+
+def test_native_grid_extract_matches_numpy(monkeypatch):
+    """rs_grid_at_points (bilinear + nearest-corner, flip + missing) must be
+    bitwise-identical to the numpy reference implementations."""
+    import numpy as np
+
+    from roadsurf_tpu.io import gridsource, native
+
+    assert native.load(build_if_missing=True) is not None
+    rng = np.random.default_rng(11)
+    R, ny, nx, P = 7, 13, 17, 501
+    for descending in (False, True):
+        lats = np.linspace(60.0, 62.0, ny)
+        if descending:
+            lats = lats[::-1].copy()
+        lons = np.linspace(24.0, 27.0, nx)
+        field = rng.normal(-3.0, 4.0, (R, ny, nx))
+        field[rng.random((R, ny, nx)) < 0.2] = -9999.9
+        field[1, 3, 4] = np.nan
+        plat = rng.uniform(59.5, 62.5, P)       # some outside
+        plon = rng.uniform(23.5, 27.5, P)
+        for fn, mode in ((gridsource.bilinear_at_points, 0),
+                         (gridsource.nearest_corner_at_points, 1)):
+            got = gridsource._native_extract(field, lats, lons, plat, plon,
+                                             mode)
+            assert got is not None
+            with monkeypatch.context() as m:
+                m.setattr(native, "_lib", None)
+                m.setattr(native, "load",
+                          lambda build_if_missing=False: None)
+                want = fn(field, lats, lons, plat, plon)
+            # g++ -march=native contracts a*b+c into FMA: values agree
+            # to ~1 ulp, missingness must match exactly
+            np.testing.assert_array_equal(got <= -9000.0, want <= -9000.0,
+                                          err_msg=f"mode={mode} "
+                                                  f"desc={descending}")
+            np.testing.assert_allclose(got, want, rtol=1e-13, atol=1e-11,
+                                       err_msg=f"mode={mode} "
+                                               f"desc={descending}")

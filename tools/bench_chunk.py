@@ -133,22 +133,32 @@ def main(argv=None):
             bl_iters=eng.bl_iters, interpret=eng.interpret,
             nsteps=chunk_t, out_offset=t0, n_out=eng.k_alloc)
 
+    def sync(out):
+        # on the remote-device backend block_until_ready does not force
+        # execution -- a (1-element) data FETCH does, exactly like the
+        # production drain's row pulls
+        leaf = jax.tree.leaves(out)[0]
+        return np.asarray(leaf[(slice(0, 1),) * leaf.ndim])
+
     def time_loop(label, step, warm=2):
-        for _ in range(warm):
-            step(0)
-        jax.block_until_ready(step(0))
+        # two-deep pipelined dispatch, like production._Engine.stream;
+        # unbounded dispatch piles up 4.3 GB forcing buffers in HBM
+        for w in range(warm):
+            sync(step(w % 4))
         t0w = time.perf_counter()
+        pending = []
         for r in range(args.reps):
-            out = step(r % 4)
-        jax.block_until_ready(out)
+            pending.append(step(r % 4))
+            if len(pending) > 1:
+                sync(pending.pop(0))
+        for o in pending:
+            sync(o)
         dtw = (time.perf_counter() - t0w) / args.reps
         rate = P0 * chunk_t / dtw
         print(f"{label}: {dtw * 1e3:.1f} ms/chunk = {rate / 1e6:.0f} M "
               f"point-steps/s", file=sys.stderr)
+        sys.stderr.flush()
         return dtw
-
-    forc0 = prep_fn(np.int32(0), eng.data)
-    jax.block_until_ready(forc0)
 
     state = {"tmp": eng.tmp0, "scal": eng.scal0}
 
@@ -158,18 +168,22 @@ def main(argv=None):
         state["tmp"], state["scal"] = tmp, scal
         return scal
 
+    def prep_step(k):
+        return prep_fn(np.int32(k * chunk_t), eng.data)
+
+    t_full = time_loop("full chunk (prep+kernel)", full_step)
+    t_prep = time_loop("prep only (expand+prepare+pack)", prep_step)
+
+    forc0 = prep_fn(np.int32(0), eng.data)
+    sync(forc0)
+
     def kernel_step(k):
         tmp, scal, rows = kernel_fn(state["tmp"], state["scal"], forc0,
                                     np.int32(k * chunk_t))
         state["tmp"], state["scal"] = tmp, scal
         return scal
 
-    def prep_step(k):
-        return prep_fn(np.int32(k * chunk_t), eng.data)
-
-    t_full = time_loop("full chunk (prep+kernel)", full_step)
     t_kern = time_loop("kernel only", kernel_step)
-    t_prep = time_loop("prep only (expand+prepare+pack)", prep_step)
 
     print(json.dumps({
         "mode": "grid" if args.grid else "stations",

@@ -104,6 +104,51 @@ def main(argv=None):
         "points_per_s": round(P / (t3 - t2), 1),
         "native": native.load() is not None}))
 
+    # ---- grid (querydata-equivalent) ingest at the same point count ------
+    # directory merge (NFmiMultiQueryInfo view, QueryDataSource.cpp:62-66)
+    # + bilinear extraction of every var at the full point set -- the host
+    # side of the GridExpander build (the rest is device placement)
+    grid_dir = os.path.join(outdir, "grids")
+    R, gny, gnx = 25, 300, 400            # hourly NWP-ish national grid
+    if not os.path.isdir(grid_dir):
+        os.makedirs(grid_dir)
+        rng = np.random.default_rng(5)
+        glats = np.linspace(59.6, 70.1, gny)
+        glons = np.linspace(20.5, 31.6, gnx)
+        half = R // 2 + 2
+        for fi, (lo, n) in enumerate([(0, half), (R - half, half)]):
+            times = sim_epochs[0] + 3600 * (lo + np.arange(n, dtype=np.int64))
+            shp = (n, gny, gnx)
+            np.savez(os.path.join(grid_dir, f"run{fi}.npz"),
+                     times=times, lats=glats, lons=glons,
+                     tair=rng.normal(-3.0, 2.0, shp),
+                     tdew=rng.normal(-5.0, 2.0, shp),
+                     rhz=np.clip(rng.normal(85, 10, shp), 0, 100),
+                     vz=np.abs(rng.normal(3, 1, shp)),
+                     prec=np.abs(rng.normal(0, 0.5, shp)),
+                     sw=np.abs(rng.normal(20, 10, shp)),
+                     lw=rng.normal(290, 5, shp),
+                     sw_dir=np.zeros(shp),
+                     lw_net=rng.normal(-10, 2, shp),
+                     tsurf_obs=rng.normal(-4, 2, shp),
+                     prec_phase=rng.integers(0, 4, shp).astype(float))
+
+    from roadsurf_tpu.io.gridsource import GridSource, bilinear_at_points
+    t4 = time.perf_counter()
+    src = GridSource({"path": grid_dir}, sim_epochs)
+    t5 = time.perf_counter()
+    nvals = 0
+    for name, f in src.fields.items():
+        v = bilinear_at_points(f, src.lats, src.lons, pset.lats, pset.lons)
+        nvals += v.size
+    t6 = time.perf_counter()
+    print(json.dumps({
+        "grid_files": 2, "grid_shape": [len(src.times), gny, gnx],
+        "grid_load_merge_s": round(t5 - t4, 3),
+        "bilinear_s": round(t6 - t5, 3),
+        "bilinear_vals_per_s": round(nvals / (t6 - t5), 1),
+        "points": P, "vars": len(src.fields)}))
+
 
 if __name__ == "__main__":
     main()
