@@ -5,11 +5,13 @@ workload is 8,881 steps x N points, float64 on CPU threads).  We measure the
 steady-state throughput of the batched forecast scan in float32 on the real
 chip, streaming forcing in time chunks like a production run would.
 
-vs_baseline: ratio against an ESTIMATED reference CPU-node throughput of
-2.0e7 point-steps/s (a 48-core node at ~0.4M point-steps/s/core for the
-15-layer column with the 5-40-iteration boundary-layer fixed point; the
-reference repo ships no measured numbers to compare against -- see
-BASELINE.md).
+vs_baseline: ratio against a MEASURED CPU-node throughput.  The reference
+repo ships no numbers (BASELINE.md), so the denominator is this repo's own
+scan engine -- full physics, identical numerics -- run on the host CPU
+backend: 1.976e6 point-steps/s/core measured by tools/bench_cpu_baseline.py
+(8192 points x 2961 steps, float32, best of 3), scaled to the 48-core node
+the reference's WorkQueue targets (examples/example1/src/WorkQueue.h:15-131)
+= 9.49e7 point-steps/s/node.
 """
 from __future__ import annotations
 
@@ -20,7 +22,10 @@ import time
 
 import numpy as np
 
-BASELINE_POINT_STEPS_PER_S = 2.0e7
+# measured: tools/bench_cpu_baseline.py (see BASELINE.md "Measured" table)
+CPU_POINT_STEPS_PER_S_PER_CORE = 1.976e6
+BASELINE_NODE_CORES = 48
+BASELINE_POINT_STEPS_PER_S = CPU_POINT_STEPS_PER_S_PER_CORE * BASELINE_NODE_CORES
 
 
 def main():

@@ -60,7 +60,7 @@ def main():
         "metric": "production_cli_point_timesteps_per_s_per_chip",
         "value": round(rate, 1),
         "unit": "point-steps/s",
-        "vs_baseline": round(rate / 2.0e7, 3),
+        "vs_baseline": round(rate / (1.976e6 * 48), 3),  # measured CPU core rate x 48 (tools/bench_cpu_baseline.py)
         "detail": {
             "npoints": npoints, "steps": nsteps, "chunk_t": chunk_t,
             "stations": stations,

@@ -20,18 +20,29 @@ import numpy as np
 
 @dataclass
 class RunMetrics:
-    """Collected phase timings + counters for one simulation run."""
+    """Collected phase timings + counters for one simulation run.
+
+    ``announce=True`` prints (flushed) phase start/end lines to stderr so
+    long device-bound phases (first device op waiting on a free chip, large
+    host->device transfers, kernel compiles) are visible while in flight --
+    piped/verbose runs would otherwise sit silent for minutes."""
     phases: Dict[str, float] = field(default_factory=dict)
     counters: Dict[str, float] = field(default_factory=dict)
+    announce: bool = False
 
     @contextlib.contextmanager
     def phase(self, name: str):
         t0 = time.perf_counter()
+        if self.announce:
+            print(f"[phase] {name} ...", file=sys.stderr, flush=True)
         try:
             yield
         finally:
-            self.phases[name] = self.phases.get(name, 0.0) + (
-                time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            self.phases[name] = self.phases.get(name, 0.0) + dt
+            if self.announce:
+                print(f"[phase] {name} done in {dt:.1f}s", file=sys.stderr,
+                      flush=True)
 
     def count(self, name: str, value: float):
         self.counters[name] = value
@@ -39,7 +50,7 @@ class RunMetrics:
     def report(self, stream=sys.stderr):
         doc = {"phases_s": {k: round(v, 4) for k, v in self.phases.items()},
                "counters": self.counters}
-        print(json.dumps(doc), file=stream)
+        print(json.dumps(doc), file=stream, flush=True)
 
     def point_steps_per_s(self, npoints: int, nsteps: int,
                           phase: str = "scan") -> Optional[float]:
@@ -117,5 +128,5 @@ class Progress:
             eta = (self.total - self.done) / max(rate, 1e-9)
             print(f"\t{self.done} / {self.total} steps "
                   f"({100.0 * self.done / self.total:.0f}%, eta {eta:.0f}s)",
-                  file=self.stream)
+                  file=self.stream, flush=True)
             self._last = now

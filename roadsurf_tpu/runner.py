@@ -83,6 +83,8 @@ def run(config_path: str, forecast_time_s: Optional[str] = None,
     from .observability import RunMetrics, profile_trace
 
     metrics = metrics if metrics is not None else RunMetrics()
+    if verbose:
+        metrics.announce = True
     config = read_json_tolerant(config_path)
     settings0 = ModelSettings.from_json(config)
     ftime = parse_forecast_time(forecast_time_s) if forecast_time_s else None
@@ -313,6 +315,8 @@ def run_production_config(config, settings, cal, sim_epochs, now, start, *,
     from .state import PointParams, init_state
 
     metrics = metrics or RunMetrics()
+    if verbose:
+        metrics.announce = True
     sim_len = settings.sim_len
     with metrics.phase("data_plane"):
         handler = DataHandler.from_config(config, sim_epochs)
