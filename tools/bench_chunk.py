@@ -113,7 +113,7 @@ def main(argv=None):
     from roadsurf_tpu.ops import pallas_step as ps
 
     @jax.jit
-    def prep_fn(t0, data):
+    def prep_full_fn(t0, data):
         rawT = expander.window(data["exp"], t0, chunk_t)
         hr = jax.lax.dynamic_slice_in_dim(data["hour"], t0, chunk_t)
         prep = prepare_window(rawT, data["pts"], hr, settings, eng.params,
@@ -121,6 +121,15 @@ def main(argv=None):
                               jde=None, enable_skyview=False)
         ones = jnp.ones(prep.tair.shape, jnp.float32)
         return ps.pack_forcing(prep, ones, ones, data["obs"])
+
+    @jax.jit
+    def prep_fn(t0, data):
+        # checksum output: a [chunk_t, NF, P] f32 forcing chunk is 4.3 GB at
+        # 1M points -- two of them in flight OOMs the 16 GB HBM (measured),
+        # so the timing loop reduces to a scalar.  XLA may elide the final
+        # HBM store of the full chunk, so this slightly UNDERestimates prep
+        # (by ~1 HBM write pass); the full-chunk row carries the true cost.
+        return prep_full_fn(t0, data).sum()
 
     # kernel-only jit on a fixed forcing chunk
     from roadsurf_tpu.parallel.sharding import pallas_scan_sharded
@@ -140,16 +149,18 @@ def main(argv=None):
         leaf = jax.tree.leaves(out)[0]
         return np.asarray(leaf[(slice(0, 1),) * leaf.ndim])
 
-    def time_loop(label, step, warm=2):
-        # two-deep pipelined dispatch, like production._Engine.stream;
-        # unbounded dispatch piles up 4.3 GB forcing buffers in HBM
+    def time_loop(label, step, warm=2, depth=2):
+        # pipelined dispatch like production._Engine.stream.  depth=1 for
+        # steps whose OUTPUT is a full 4.3 GB forcing chunk: two pending
+        # outputs plus one being freed asynchronously is 12.9 GB -- over
+        # the 16 GB HBM budget at 1M points (measured ResourceExhausted)
         for w in range(warm):
             sync(step(w % 4))
         t0w = time.perf_counter()
         pending = []
         for r in range(args.reps):
             pending.append(step(r % 4))
-            if len(pending) > 1:
+            if len(pending) >= depth:
                 sync(pending.pop(0))
         for o in pending:
             sync(o)
@@ -172,9 +183,10 @@ def main(argv=None):
         return prep_fn(np.int32(k * chunk_t), eng.data)
 
     t_full = time_loop("full chunk (prep+kernel)", full_step)
-    t_prep = time_loop("prep only (expand+prepare+pack)", prep_step)
+    t_prep = time_loop("prep only (expand+prepare+pack, checksum out)",
+                       prep_step, warm=1, depth=1)
 
-    forc0 = prep_fn(np.int32(0), eng.data)
+    forc0 = prep_full_fn(np.int32(0), eng.data)
     sync(forc0)
 
     def kernel_step(k):
