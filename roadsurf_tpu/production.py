@@ -108,7 +108,7 @@ class StationExpander:
     """
 
     def __init__(self, raw_st: RawForcing, st_idx, mesh, chunk_t: int,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, prep_ctx: Optional[dict] = None):
         st_idx = np.asarray(st_idx)
         self.num_points = len(st_idx)
         self.mesh = mesh
@@ -148,6 +148,82 @@ class StationExpander:
                         -9999 if n == "prec_phase" else -9999.9)
             for n in RawForcing._fields}
 
+        # ---- station-level forcing preparation (the fast path) ----------
+        # Every rule in forcing.prepare_window + the pack_forcing thermo is
+        # a pure function of (series value, global step, per-SERIES params)
+        # when relax/coupling parameters are station-derived and sky view is
+        # inactive -- so it is computed ONCE at station rank [S+1, T_pad]
+        # (tiny) instead of per point per chunk (512x duplicated work at
+        # 2048 stations / 1M points: measured 65-90 ms of the 158 ms chunk).
+        # Row S is a virtual all-MISSING station for out-of-radius points:
+        # gathering its PREPARED values reproduces bit-for-bit the garbage
+        # the generic path computes from MISSING raws.
+        self.prep_data = None
+        if prep_ctx is not None:
+            self._build_prepared(prep_ctx, rep, shp, st_idx, ok)
+
+    def _build_prepared(self, ctx, rep, shp, st_idx, ok):
+        from .ops import pallas_step as ps
+        settings, params = ctx["settings"], ctx["params"]
+        st_pts = ctx["st_pts"]            # PointParams, rank S+1 (virtual!)
+        anchors = ctx.get("anchors")      # triple [S+1] or None
+        hour = _pad_tail(np.asarray(ctx["hour"], np.int32), self.t_pad)
+        t_total = int(ctx["t_total"])
+        dtype = self.dtype
+
+        def _prep(channels: RawForcing, pts_l, anch):
+            def app(x, name):
+                miss = -9999 if name == "prec_phase" else jnp.asarray(
+                    MISSING, x.dtype)
+                return jnp.concatenate(
+                    [x, jnp.full((1, x.shape[1]), miss, x.dtype)])
+            rawv = RawForcing(*(app(getattr(channels, n), n)
+                                for n in RawForcing._fields))
+            rawT = RawForcing(*(x.T for x in rawv))        # [T_pad, S+1]
+            prep = prepare_window(
+                rawT, pts_l, jnp.asarray(hour), settings, params,
+                t_offset=0, t_total=t_total, anchors=anch,
+                enable_skyview=False)
+            f32 = lambda x: jnp.asarray(x, jnp.float32).T   # -> [S+1, T_pad]
+            tair = jnp.asarray(prep.tair, jnp.float32)
+            rhz = jnp.asarray(prep.rhz, jnp.float32)
+            tak = tair + jnp.float32(273.15)
+            air_dens = jnp.float32(100000.0) / (jnp.float32(287.05) * tak)
+            air_hcap = (jnp.float32(1005.0)
+                        + (tak - jnp.float32(250.0)) ** 2
+                        / jnp.float32(3364.0))
+            eair = jnp.minimum(jnp.float32(0.01) * rhz, jnp.float32(1.0)) \
+                * ps._esat(tair)
+            return ({ps.C_TAIR: f32(prep.tair), ps.C_VZ: f32(prep.vz),
+                     ps.C_EAIR: eair.T, ps.C_AIRVCAP: (air_hcap * air_dens).T,
+                     ps.C_RAIN: f32(prep.rain), ps.C_SNOW: f32(prep.snow),
+                     ps.C_SW: f32(prep.sw), ps.C_LW: f32(prep.lw),
+                     ps.C_TSURF_OBS: f32(prep.tsurf_obs),
+                     ps.C_VALID: f32(prep.valid),
+                     ps.C_INCPL: f32(prep.in_coupling)},
+                    jnp.asarray(prep.trf_fric, jnp.float32))
+
+        # cast exactly like _Engine's put_pts (fdt floats / int32 indices) so
+        # station-level prep sees the same dtypes as the per-point path --
+        # under x64 test mode a float64 param would change the rounding
+        fdt = np.float32 if dtype == jnp.float32 else np.float64
+        ints = {"init_len", "coupling_start", "coupling_end"}
+        pts_dev = type(st_pts)(*(
+            jax.device_put(np.asarray(
+                getattr(st_pts, n), np.int32 if n in ints else fdt), rep)
+            for n in st_pts._fields))
+        anch_dev = (tuple(jax.device_put(np.asarray(a, fdt), rep)
+                          for a in anchors) if anchors is not None else None)
+        out_sh = jax.tree.map(lambda x: rep, jax.eval_shape(
+            _prep, self.channels, pts_dev, anch_dev))
+        chans, trf = jax.jit(_prep, out_shardings=out_sh)(
+            self.channels, pts_dev, anch_dev)
+        S = np.asarray(self._raw_host.tair).shape[0]
+        self.prep_data = {
+            "ch": chans, "trf": trf,
+            "sidx": jax.device_put(
+                np.where(ok, st_idx, S).astype(np.int32), shp)}
+
     def host_at(self, sim_sel, names=("tair", "tdew", "rhz")) -> dict:
         """Host-side per-point values at selected sim steps [n] (for output
         writers and anchor derivation): {name: [P, n]}."""
@@ -161,10 +237,40 @@ class StationExpander:
 
     @property
     def device_data(self):
-        return {"ch": self.channels, "ok": self.ok, "sidx": self.st_idx}
+        d = {"ch": self.channels, "ok": self.ok, "sidx": self.st_idx}
+        if self.prep_data is not None:
+            d["prep"] = self.prep_data
+        return d
 
     def window(self, data, t0, tc: int) -> RawForcing:
         return self.window_from(data["ch"], data["ok"], data["sidx"], t0, tc)
+
+    def packed_window(self, data, t0, tc: int, sw_cof, lw_cof, obs):
+        """[tc, NCH, P] kernel-ready packed forcing from the station-level
+        PREPARED channels: per chunk only the row gather + the per-point
+        channels (radiation cofs, coupling obs) remain -- semantically
+        identical to prepare_window + pack_forcing on the expanded raws
+        (tests/test_production.py::test_production_fast_prep_matches)."""
+        from .ops import pallas_step as ps
+        pd = data["prep"]
+        sidx = pd["sidx"]
+        Pn = sidx.shape[0]
+
+        def rows(ch):
+            sl = jax.lax.dynamic_slice_in_dim(ch, t0, tc, axis=1)
+            return jnp.take(sl, sidx, axis=0).T            # [tc, P]
+
+        trf = jax.lax.dynamic_slice_in_dim(pd["trf"], t0, tc)
+        out = [None] * ps.NCH
+        for c, ch in pd["ch"].items():
+            out[c] = rows(ch)
+        out[ps.C_TRF] = jnp.broadcast_to(trf[:, None], (tc, Pn))
+        out[ps.C_SWCOF] = jnp.asarray(sw_cof, jnp.float32)
+        out[ps.C_LWCOF] = jnp.asarray(lw_cof, jnp.float32)
+        out[ps.C_CPLOBS] = jnp.broadcast_to(
+            jnp.asarray(obs, jnp.float32)[None, :], (tc, Pn))
+        zero = jnp.zeros((tc, Pn), jnp.float32)
+        return jnp.stack([c if c is not None else zero for c in out], axis=1)
 
     @staticmethod
     def window_from(channels: RawForcing, ok, st_idx, t0, tc: int
@@ -667,6 +773,10 @@ class _Engine:
                 lambda x: jnp.zeros((), jnp.asarray(x).dtype), state)
 
         self.fn_cache = {}
+        # station-level prepared channels bypass per-point forcing prep
+        # entirely; per-point sky-view correction cannot ride them
+        self.fast = (not self.enable_sky
+                     and getattr(expander, "prep_data", None) is not None)
         # fixed output-row allocation: the max stride hits any chunk can
         # contain (keeps the jit variant count small: main + ragged chunks)
         self.k_alloc = (chunk_t - 1) // self.os_ + 1
@@ -722,21 +832,33 @@ class _Engine:
                 out_offset=t0, n_out=self.k_alloc)
             return tmp2, scal2, out[:, :6]
 
+        fast = self.fast
+
         if with_cofs:
             @jax.jit
             def fn(tmp, scal, t0, data, sw_corr, lw_corr):
-                prep = prep_chunk(t0, data)
                 swc, lwc = cof_window(
                     sw_corr, lw_corr, data["pts"].coupling_end, t0, chunk_t,
                     T, settings, jnp.float32)
-                forc = ps.pack_forcing(prep, swc, lwc, data["obs"])
+                if fast:
+                    forc = expander.packed_window(data["exp"], t0, chunk_t,
+                                                  swc, lwc, data["obs"])
+                else:
+                    prep = prep_chunk(t0, data)
+                    forc = ps.pack_forcing(prep, swc, lwc, data["obs"])
                 return launch(tmp, scal, forc, t0, nsteps)
         else:
             @jax.jit
             def fn(tmp, scal, t0, data):
-                prep = prep_chunk(t0, data)
-                ones = jnp.ones(prep.tair.shape, jnp.float32)
-                forc = ps.pack_forcing(prep, ones, ones, data["obs"])
+                if fast:
+                    shape = (chunk_t, expander.num_points)
+                    ones = jnp.ones(shape, jnp.float32)
+                    forc = expander.packed_window(data["exp"], t0, chunk_t,
+                                                  ones, ones, data["obs"])
+                else:
+                    prep = prep_chunk(t0, data)
+                    ones = jnp.ones(prep.tair.shape, jnp.float32)
+                    forc = ps.pack_forcing(prep, ones, ones, data["obs"])
                 return launch(tmp, scal, forc, t0, nsteps)
 
         self.fn_cache[key] = fn

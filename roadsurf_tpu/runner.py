@@ -459,8 +459,43 @@ def run_production_config(config, settings, cal, sim_epochs, now, start, *,
                                 constant_values=-1)
             st_pos = min(i for i, s in enumerate(handler.sources)
                          if not hasattr(s, "at_points"))
+            # station-level forcing preparation (production.StationExpander
+            # fast path): valid whenever every per-point prep input is
+            # station-derived -- i.e. a pure station config with sky view
+            # inactive.  The virtual station row (rank S+1) carries the same
+            # fill values the per-point expansion uses for out-of-radius
+            # points, so gathered prepared values match the generic path.
+            prep_ctx = None
+            skyview_any = bool(np.any((np.asarray(svf) < 1.0)
+                                      & (np.asarray(svf) > -0.01)))
+            if not grid_srcs and not skyview_any:
+                S_st = len(st_lats)
+                app = lambda a, fill, dt=None: np.concatenate(
+                    [np.asarray(a, dt), np.asarray([fill], dt)])
+                if settings.use_relaxation:
+                    il1 = app(pts_st.init_len, 1, np.int32)
+                else:
+                    il1 = np.full(S_st + 1, default_init, np.int32)
+                st_pts1 = PointParams(
+                    lat=np.zeros(S_st + 1), lon=np.zeros(S_st + 1),
+                    sky_view=np.ones(S_st + 1),
+                    horizons=np.zeros((S_st + 1, 1)),
+                    init_len=il1,
+                    tair_relax=app(pts_st.tair_relax, -9999.9),
+                    vz_relax=app(pts_st.vz_relax, -9999.9),
+                    rh_relax=app(pts_st.rh_relax, -9999.9),
+                    coupling_start=app(pts_st.coupling_start, -99, np.int32),
+                    coupling_end=app(pts_st.coupling_end, -99, np.int32),
+                    coupling_tsurf=app(pts_st.coupling_tsurf, -9999.9),
+                    out_depth=np.full(S_st + 1, -9999.9))
+                anch1 = (tuple(app(a, -9999.9) for a in anchors_st)
+                         if anchors_st is not None else None)
+                prep_ctx = {"st_pts": st_pts1, "anchors": anch1,
+                            "settings": settings, "params": model.params,
+                            "hour": cal.hour, "t_total": sim_len}
             parts.append((st_pos, production.StationExpander(
-                raw_st, st_idx_pad, mesh, chunk_t=chunk_t)))
+                raw_st, st_idx_pad, mesh, chunk_t=chunk_t,
+                prep_ctx=prep_ctx)))
         if grid_srcs:
             lat_pad = production._pad_tail(np.asarray(lats, np.float64),
                                            p_pad)

@@ -97,6 +97,115 @@ def test_production_matches_scan(chunk_t, out_stride):
                           np.asarray(final_ref.failed))
 
 
+def _station_prep_ctx(settings, model, raw_st, cal, pts, st_idx,
+                      virtual_init_len=None):
+    """Station-rank prep_ctx mirroring a per-point params construction where
+    every per-point value is st_pts[st_idx] (the fast-path contract)."""
+    S = np.asarray(raw_st.tair).shape[0]
+    rows = np.arange(S)
+    il_st = np.full(S, int(np.asarray(pts.init_len)[0]), np.int32)
+    raw_np = {n: np.asarray(getattr(raw_st, n)) for n in
+              ("tair", "vz", "rhz")}
+    app = lambda a, fill: np.concatenate([np.asarray(a), [fill]])
+    if settings.use_relaxation:
+        il = il_st[0]
+        st_pts1 = default_point_params(S + 1)._replace(
+            init_len=app(il_st, il_st[0]).astype(np.int32),
+            tair_relax=app(raw_np["tair"][rows, il] + 0.4, -9999.9),
+            vz_relax=app(raw_np["vz"][rows, il] + 0.1, -9999.9),
+            rh_relax=app(raw_np["rhz"][rows, il] - 2.0, -9999.9))
+        vz_a = raw_np["vz"].copy()
+        vz_a[:, 0] = np.maximum(vz_a[:, 0], 0.4)
+        anch1 = (app(raw_np["tair"][rows, il - 1], -9999.9),
+                 app(vz_a[rows, il - 1], -9999.9),
+                 app(raw_np["rhz"][rows, il - 1], -9999.9))
+    else:
+        st_pts1 = default_point_params(S + 1)._replace(
+            init_len=np.full(S + 1, int(np.asarray(pts.init_len)[0]),
+                             np.int32))
+        anch1 = None
+    cs = np.asarray(pts.coupling_start)
+    st_pts1 = st_pts1._replace(
+        coupling_start=app(np.full(S, cs[0], np.int32), -99).astype(np.int32),
+        coupling_end=app(np.full(S, np.asarray(pts.coupling_end)[0],
+                                 np.int32), -99).astype(np.int32))
+    return {"st_pts": st_pts1, "anchors": anch1, "settings": settings,
+            "params": model.params, "hour": cal.hour,
+            "t_total": settings.sim_len}
+
+
+def test_production_fast_prep_matches():
+    """The station-level prepared-channel fast path must reproduce the
+    generic per-point prepare path (same engine, prep_ctx on vs off)."""
+    settings, model, raw_st, raw_pt, cal, pts, st_idx = _station_setup(
+        skyview=False)
+    mesh = make_mesh()
+    P = len(st_idx)
+    p_pad = production.padded_points(P, mesh)
+    st_idx_pad = np.pad(st_idx, (0, p_pad - P), constant_values=-1)
+    ctx = _station_prep_ctx(settings, model, raw_st, cal, pts, st_idx)
+
+    state0 = model.init(raw_pt, cal, dtype=jnp.float32)
+    anchors = relax_anchors(raw_pt, pts)
+    runs = {}
+    for label, prep_ctx in (("generic", None), ("fast", ctx)):
+        exp = production.StationExpander(raw_st, st_idx_pad, mesh,
+                                         chunk_t=32, prep_ctx=prep_ctx)
+        if label == "fast":
+            assert exp.prep_data is not None
+        runs[label] = production.run_production(
+            model, exp, pts, cal, state0, anchors=anchors, mesh=mesh,
+            chunk_t=32, out_stride=6, inner_chunk_t=8, interpret=True)
+    for name in runs["fast"].fields:
+        np.testing.assert_allclose(
+            runs["fast"].fields[name], runs["generic"].fields[name],
+            rtol=2e-6, atol=2e-6, err_msg=name)
+    np.testing.assert_allclose(np.asarray(runs["fast"].state.tmp),
+                               np.asarray(runs["generic"].state.tmp),
+                               rtol=2e-6, atol=2e-6)
+    assert np.array_equal(np.asarray(runs["fast"].state.failed),
+                          np.asarray(runs["generic"].state.failed))
+
+
+def test_production_coupled_fast_prep_matches():
+    """Fast prepared channels through the coupled driver: phases A/C use the
+    fast chunk fns (incl. the with_cofs variant), phase B the generic window
+    engine -- must equal the generic-expander coupled run."""
+    settings, model, raw_st, raw_pt, cal, pts, st_idx = _coupled_setup()
+    P = len(st_idx)
+    # station-derived obs (the fast-path contract): per-point obs equals its
+    # station's obs; station 2 carries no obs at all
+    rng = np.random.default_rng(5)
+    S = np.asarray(raw_st.tair).shape[0]
+    obs_st = np.asarray(raw_st.tair)[:, 39] - rng.uniform(0.5, 2.5, S)
+    obs_st[2] = -9999.9
+    obs_pt = np.where(st_idx >= 0, obs_st[np.where(st_idx >= 0, st_idx, 0)],
+                      -9999.9)
+    pts = pts._replace(coupling_tsurf=obs_pt)
+
+    mesh = make_mesh()
+    p_pad = production.padded_points(P, mesh)
+    st_idx_pad = np.pad(st_idx, (0, p_pad - P), constant_values=-1)
+    ctx = _station_prep_ctx(settings, model, raw_st, cal, pts, st_idx)
+    ctx["st_pts"] = ctx["st_pts"]._replace(
+        coupling_tsurf=np.concatenate([obs_st, [-9999.9]]))
+
+    state0 = model.init(raw_pt, cal, dtype=jnp.float32, pts=pts)
+    runs = {}
+    for label, prep_ctx in (("generic", None), ("fast", ctx)):
+        exp = production.StationExpander(raw_st, st_idx_pad, mesh,
+                                         chunk_t=32, prep_ctx=prep_ctx)
+        runs[label] = production.run_production_coupled(
+            model, exp, pts, cal, state0, mesh=mesh, chunk_t=32,
+            out_stride=6, inner_chunk_t=8, interpret=True)
+    for name in runs["fast"].fields:
+        np.testing.assert_allclose(
+            runs["fast"].fields[name], runs["generic"].fields[name],
+            rtol=2e-6, atol=2e-6, err_msg=name)
+    assert np.array_equal(np.asarray(runs["fast"].state.failed),
+                          np.asarray(runs["generic"].state.failed))
+
+
 def test_runner_engine_parity(tmp_path):
     """runner --engine pallas must reproduce --engine scan on a real config
     with file-backed forcing (example1 stations, example2 grid point mode)."""

@@ -31,6 +31,8 @@ def main(argv=None):
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--grid", action="store_true",
                     help="bench the GridExpander path instead of stations")
+    ap.add_argument("--fast", action="store_true",
+                    help="station-level prepared channels (prep_ctx path)")
     ap.add_argument("--grid-ny", type=int, default=300)
     ap.add_argument("--grid-nx", type=int, default=400)
     args = ap.parse_args(argv)
@@ -87,8 +89,15 @@ def main(argv=None):
               f"KW={expander.KW} SPAN={expander.SPAN}", file=sys.stderr)
     else:
         st_idx_pad = rng.integers(0, S, size=p_pad)
+        prep_ctx = None
+        if args.fast:
+            st_pts1 = default_point_params(S + 1)
+            prep_ctx = {"st_pts": st_pts1, "anchors": None,
+                        "settings": settings, "params": model.params,
+                        "hour": cal.hour, "t_total": T}
         expander = production.StationExpander(raw_st, st_idx_pad, mesh,
-                                              chunk_t=chunk_t)
+                                              chunk_t=chunk_t,
+                                              prep_ctx=prep_ctx)
 
     pts = default_point_params(P0)._replace(
         lat=58.0 + rng.uniform(0, 6, P0), lon=20.0 + rng.uniform(0, 10, P0))
@@ -114,6 +123,10 @@ def main(argv=None):
 
     @jax.jit
     def prep_full_fn(t0, data):
+        if eng.fast:
+            ones = jnp.ones((chunk_t, expander.num_points), jnp.float32)
+            return expander.packed_window(data["exp"], t0, chunk_t,
+                                          ones, ones, data["obs"])
         rawT = expander.window(data["exp"], t0, chunk_t)
         hr = jax.lax.dynamic_slice_in_dim(data["hour"], t0, chunk_t)
         prep = prepare_window(rawT, data["pts"], hr, settings, eng.params,
