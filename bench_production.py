@@ -23,7 +23,10 @@ import time
 
 
 def main():
-    outdir = os.environ.get("BENCH_PROD_DIR", "/tmp/roadsurf_prod")
+    grid_mode = os.environ.get("BENCH_PROD_MODE", "stations") == "grid"
+    outdir = os.environ.get(
+        "BENCH_PROD_DIR",
+        "/tmp/roadsurf_prod_grid" if grid_mode else "/tmp/roadsurf_prod")
     ny = int(os.environ.get("BENCH_PROD_NY", 1024))
     nx = int(os.environ.get("BENCH_PROD_NX", 1024))
     stations = int(os.environ.get("BENCH_PROD_STATIONS", 2048))
@@ -39,7 +42,8 @@ def main():
         from tools.gen_production import main as gen_main
         t0 = time.perf_counter()
         gen_main(["--outdir", outdir, "--stations", str(stations),
-                  "--ny", str(ny), "--nx", str(nx)])
+                  "--ny", str(ny), "--nx", str(nx)]
+                 + (["--grid-source"] if grid_mode else []))
         open(stamp, "w").write("ok")
         log(f"generated in {time.perf_counter() - t0:.1f}s")
 
@@ -67,7 +71,9 @@ def main():
             "wall_s_total_cli": round(total, 2),
             "phases_s": {k: round(v, 2) for k, v in metrics.phases.items()},
             "backend": jax.default_backend(), "dtype": "float32",
-            "forcing": "file-backed station JSON, on-device expansion"},
+            "forcing": ("file-backed NWP grid npz, on-device time interp"
+                        if grid_mode else
+                        "file-backed station JSON, on-device expansion")},
     }))
 
 

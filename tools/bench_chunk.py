@@ -33,6 +33,9 @@ def main(argv=None):
                     help="bench the GridExpander path instead of stations")
     ap.add_argument("--fast", action="store_true",
                     help="station-level prepared channels (prep_ctx path)")
+    ap.add_argument("--sorted", action="store_true",
+                    help="station-sorted point order (monotone gather "
+                         "experiment; throughput-only, no output remap)")
     ap.add_argument("--grid-ny", type=int, default=300)
     ap.add_argument("--grid-nx", type=int, default=400)
     args = ap.parse_args(argv)
@@ -89,6 +92,8 @@ def main(argv=None):
               f"KW={expander.KW} SPAN={expander.SPAN}", file=sys.stderr)
     else:
         st_idx_pad = rng.integers(0, S, size=p_pad)
+        if args.sorted:
+            st_idx_pad = np.sort(st_idx_pad)
         prep_ctx = None
         if args.fast:
             st_pts1 = default_point_params(S + 1)

@@ -61,6 +61,12 @@ def main(argv=None):
                     help="data start (UTC); run -t must be start+analysis")
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--output-step-min", type=int, default=360)
+    ap.add_argument("--grid-source", action="store_true",
+                    help="NWP grid npz forcing (querydata-equivalent) "
+                         "instead of station JSON -- the example2 run_grid "
+                         "mode (roadrunner.cpp:763-771)")
+    ap.add_argument("--grid-src-ny", type=int, default=300)
+    ap.add_argument("--grid-src-nx", type=int, default=400)
     args = ap.parse_args(argv)
     os.makedirs(args.outdir, exist_ok=True)
     rng = np.random.default_rng(args.seed)
@@ -80,6 +86,60 @@ def main(argv=None):
                          np.linspace(lon1, lon2, side), indexing="ij")
     lats = (gy + rng.uniform(-0.02, 0.02, gy.shape)).ravel()[:args.stations]
     lons = (gx + rng.uniform(-0.04, 0.04, gx.shape)).ravel()[:args.stations]
+
+    if args.grid_source:
+        # one smooth NWP field set [R, ny, nx] (hourly): spatial gradients +
+        # the same diurnal/synoptic structure as the station generator
+        gy_s = np.linspace(lat1, lat2, args.grid_src_ny)
+        gx_s = np.linspace(lon1, lon2, args.grid_src_nx)
+        LA, LO = np.meshgrid(gy_s, gx_s, indexing="ij")
+        h = np.arange(hours + 1, dtype=np.float64)[:, None, None]
+        hod = h % 24.0
+        diurnal = np.cos((hod - 14.0) / 24.0 * 2 * np.pi)
+        north = (LA - lat1) / (lat2 - lat1)
+        tair = (-2.0 - 6.0 * north + 4.0 * diurnal
+                + 0.6 * np.sin(h / 7.0 + 3.0 * LO / (lon2 - lon1))
+                + rng.normal(0, 0.2, (hours + 1, 1, 1)))
+        rhz = np.clip(80.0 + 10.0 * np.sin(h / 5.0 + 2 * north)
+                      + rng.normal(0, 1.5, (hours + 1, 1, 1)), 45.0, 100.0)
+        vz = np.clip(3.0 + 2.0 * np.sin(h / 9.0 + LO) + north
+                     + rng.normal(0, 0.3, (hours + 1, 1, 1)), 0.2, 18.0)
+        prec = np.where(np.sin(h / 11.0 + 4 * LO) > 0.8,
+                        np.abs(rng.normal(0.6, 0.3, (hours + 1, 1, 1))), 0.0)
+        elev = np.maximum(
+            0.0, np.sin((hod - 12.0) / 24.0 * 2 * np.pi + 0.4) - 0.75)
+        sw = 420.0 * elev * (1.0 - 0.3 * north)
+        lw = 255.0 + 25.0 * np.sin(h / 13.0) + 5.0 * north
+        fields = {"tair": tair, "rhz": rhz, "vz": vz, "prec": prec,
+                  "sw": sw + 0.0 * LA, "lw": lw + 0.0 * LA}
+        gpath = os.path.join(args.outdir, "nwp_grid.npz")
+        np.savez(gpath, times=epochs, lats=gy_s, lons=gx_s,
+                 **{k: np.asarray(v, np.float32) for k, v in fields.items()})
+        run_t = timelib.strftime("%Y%m%dT%H%M",
+                                 timelib.gmtime(t0 + 3600 * args.analysis))
+        config = {
+            "time": {"analysis": args.analysis, "forecast": args.forecast,
+                     "now": run_t},
+            "model": {"use_coupling": 0, "use_relaxation": 0, "DTSecs": 30,
+                      "NLayers": 15},
+            "parameters": {},
+            "points": {"grid": {"bbox": [lat1, lon1, lat2, lon2],
+                                "ny": args.ny, "nx": args.nx}},
+            "output": {"step": args.output_step_min,
+                       "filename": os.path.join(args.outdir,
+                                                "forecast_out.npz")},
+            "missing_limit": 100,
+            "input": [{"type": "grid", "path": gpath}],
+        }
+        cpath = os.path.join(args.outdir, "config.json")
+        with open(cpath, "w") as f:
+            json.dump(config, f, indent=1)
+        print(json.dumps({"config": cpath, "grid": gpath,
+                          "points": args.ny * args.nx,
+                          "grid_shape": [hours + 1, args.grid_src_ny,
+                                         args.grid_src_nx],
+                          "run_t": run_t}))
+        return
 
     doc = []
     for sid in range(args.stations):
