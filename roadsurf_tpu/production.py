@@ -938,11 +938,15 @@ class _Engine:
             fields = {name: stacked[:, r]
                       for name, r in OUT_FIELD_ROWS.items()}
 
-            final = ps.unpack_state(
-                _to_host(tmp), _to_host(scal), self.grid.nlayers,
-                self.template)
+            # unpack ON DEVICE, then one host pull per leaf: pulling the
+            # packed rows to host and unpacking there bounces the state
+            # host->device->host again (jnp ops re-upload), which costs
+            # minutes over the dev rig's ~6 MB/s tunnel at 1M points
+            unpack = jax.jit(lambda t, s: ps.unpack_state(
+                t, s, self.grid.nlayers, self.template))
             final = jax.tree.map(
-                lambda x: jnp.asarray(np.asarray(x)[:self.n_real]), final)
+                lambda x: jnp.asarray(_to_host(x)[:self.n_real]),
+                unpack(tmp, scal))
         return ProductionResult(state=final, out_steps=all_steps,
                                 fields=fields, point_steps_per_s=rate)
 
