@@ -97,6 +97,20 @@ def main():
                                rtol=2e-4, atol=2e-3)
     assert not np.asarray(res.state.failed).any()
 
+    # station-level prepared-channel fast path across processes: the
+    # prepared channels replicate like the raw ones; must match the generic
+    # multi-process run exactly
+    exp_f = production.StationExpander(
+        raw_st, st_idx, mesh, chunk_t=16,
+        prep_ctx={"st_pts": default_point_params(S + 1), "anchors": None,
+                  "settings": settings, "params": model.params,
+                  "hour": cal2.hour, "t_total": T})
+    res_f = production.run_production(model, exp_f, pts2, cal2, state0,
+                                      mesh=mesh, chunk_t=16, out_stride=8,
+                                      interpret=True)
+    np.testing.assert_allclose(res_f.fields["tsurf"], res.fields["tsurf"],
+                               rtol=2e-6, atol=2e-6)
+
     print(f"MP_OK {pid} checked={checked} prod={res.fields['tsurf'].shape}")
 
 
