@@ -12,9 +12,17 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+
+def _baseline():
+    """Measured CPU-node denominator -- single source of truth in bench.py."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bench import BASELINE_POINT_STEPS_PER_S
+    return BASELINE_POINT_STEPS_PER_S
 
 
 def main():
@@ -140,7 +148,7 @@ def main():
         "metric": "full_forecast_point_timesteps_per_s_per_chip",
         "value": round(rate, 1),
         "unit": "point-steps/s",
-        "vs_baseline": round(rate / (1.976e6 * 48), 3),  # measured CPU core rate x 48 (tools/bench_cpu_baseline.py)
+        "vs_baseline": round(rate / _baseline(), 3),
         "detail": {
             "npoints": P, "steps": T, "chunk_t": CHUNK,
             "out_stride": OUT_STRIDE,

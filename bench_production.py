@@ -22,6 +22,13 @@ import sys
 import time
 
 
+def _baseline():
+    """Measured CPU-node denominator -- single source of truth in bench.py."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bench import BASELINE_POINT_STEPS_PER_S
+    return BASELINE_POINT_STEPS_PER_S
+
+
 def main():
     grid_mode = os.environ.get("BENCH_PROD_MODE", "stations") == "grid"
     outdir = os.environ.get(
@@ -64,7 +71,7 @@ def main():
         "metric": "production_cli_point_timesteps_per_s_per_chip",
         "value": round(rate, 1),
         "unit": "point-steps/s",
-        "vs_baseline": round(rate / (1.976e6 * 48), 3),  # measured CPU core rate x 48 (tools/bench_cpu_baseline.py)
+        "vs_baseline": round(rate / _baseline(), 3),
         "detail": {
             "npoints": npoints, "steps": nsteps, "chunk_t": chunk_t,
             "stations": stations,

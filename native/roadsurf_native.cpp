@@ -273,8 +273,11 @@ void rs_grid_at_points(const double* field, int64_t R, int64_t ny, int64_t nx,
         int64_t jx = (int64_t)(std::upper_bound(lo, lo + nx, x) - lo) - 1;
         jy = std::max<int64_t>(0, std::min<int64_t>(jy, ny - 2));
         jx = std::max<int64_t>(0, std::min<int64_t>(jx, nx - 2));
-        const double dy = la[jy + 1] - la[jy];
-        const double dx = lo[jx + 1] - lo[jx];
+        // degenerate 1-row/1-column grids: the +1 neighbor does not exist;
+        // collapse the weight to 0 and read the same cell (matches the
+        // numpy fallback, whose negative-index wrap lands on the same row)
+        const double dy = (jy + 1 < ny) ? la[jy + 1] - la[jy] : 0.0;
+        const double dx = (jx + 1 < nx) ? lo[jx + 1] - lo[jx] : 0.0;
         iy[p - b0] = jy;
         ix[p - b0] = jx;
         fy[p - b0] = dy > 0 ? (y - la[jy]) / dy : 0.0;
@@ -292,9 +295,10 @@ void rs_grid_at_points(const double* field, int64_t R, int64_t ny, int64_t nx,
                                wy * (1 - wx), wy * wx};
           double v[4];
           for (int c = 0; c < 4; ++c) {
-            int64_t ry = jy + (c >> 1);
+            int64_t ry = std::min<int64_t>(jy + (c >> 1), ny - 1);
+            int64_t rx = std::min<int64_t>(jx + (c & 1), nx - 1);
             if (flip_y) ry = ny - 1 - ry;
-            v[c] = f[ry * nx + jx + (c & 1)];
+            v[c] = f[ry * nx + rx];
           }
           double res = kMissing;
           if (mode == 0) {

@@ -59,6 +59,14 @@ class Calendar(NamedTuple):
                                     self.hour, self.minute, self.second)
 
 
+def valid_threshold(name: str) -> float:
+    """Per-variable overlay validity threshold (DataHandler per-value merge,
+    examples/example1/src/DataHandler.cpp:73-82): values above it are
+    present.  lw_net is a NET flux and legitimately negative
+    (src/InputArrays.f90.inc missing sentinel -9999.9 vs physical range)."""
+    return -1000.0 if name == "lw_net" else -100.0
+
+
 class RawForcing(NamedTuple):
     """Interpolated-to-grid weather inputs, [P, T] float (missing = -9999.9
     except lw_net whose missing threshold is -1000; src/InputArrays.f90.inc)."""

@@ -97,6 +97,7 @@ def _native_extract(field, lats, lons, plat, plon, mode: int):
     if f.ndim < 2:
         return None
     la = np.asarray(lats, np.float64)
+    pshape = np.shape(plat)            # () scalars keep fallback shape
     plat = np.atleast_1d(np.asarray(plat, np.float64))
     plon = np.atleast_1d(np.asarray(plon, np.float64))
     flip = len(la) > 1 and la[1] < la[0]
@@ -104,7 +105,7 @@ def _native_extract(field, lats, lons, plat, plon, mode: int):
     out = native.grid_at_points(
         f.reshape((-1,) + f.shape[-2:]), la[::-1] if flip else la, lons,
         plat, plon, mode=mode, flip_y=flip)
-    return np.ascontiguousarray(out.T).reshape(lead + plat.shape)
+    return np.ascontiguousarray(out.T).reshape(lead + pshape)
 
 
 def bilinear_at_points(field: np.ndarray, lats: np.ndarray, lons: np.ndarray,

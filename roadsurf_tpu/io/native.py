@@ -16,6 +16,7 @@ _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libroadsurf_native.so"))
 
 _lib = None
+_load_failed = False
 
 
 _ABI_VERSION = 2
@@ -23,10 +24,13 @@ _ABI_VERSION = 2
 
 def load(build_if_missing: bool = False):
     """Load (optionally build) the native library; returns None if
-    unavailable."""
-    global _lib
+    unavailable.  A failed build/load is cached so hot paths calling this
+    per array do not re-spawn a failing `make` every time."""
+    global _lib, _load_failed
     if _lib is not None:
         return _lib
+    if _load_failed:
+        return None
     src = os.path.join(os.path.abspath(_NATIVE_DIR), "roadsurf_native.cpp")
     stale = (os.path.exists(_LIB_PATH) and os.path.exists(src)
              and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
@@ -37,13 +41,16 @@ def load(build_if_missing: bool = False):
             subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
                            check=True, capture_output=True)
         except (subprocess.CalledProcessError, FileNotFoundError):
+            _load_failed = True
             return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
+        _load_failed = True
         return None
     lib.rs_version.restype = ctypes.c_int
     if lib.rs_version() != _ABI_VERSION:
+        _load_failed = True
         return None
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
     f64p = np.ctypeslib.ndpointer(np.float64, flags="C")

@@ -21,7 +21,7 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from ..config import ModelSettings
-from ..forcing import RawForcing
+from ..forcing import RawForcing, valid_threshold
 from .interp import MISSING, interpolate_series
 
 VAR_NAMES = ("tair", "tdew", "vz", "rhz", "prec", "sw", "lw", "sw_dir",
@@ -388,7 +388,7 @@ class DataHandler:
                     v = st.values.get(name)
                     if v is None:
                         continue
-                    valid = v > (-1000.0 if name == "lw_net" else -100.0)
+                    valid = v > valid_threshold(name)
                     data[name][row] = np.where(valid, v, data[name][row])
                     if name == "tair" and src.is_observation:
                         obs_tair[row] = np.where(valid, v, obs_tair[row])
@@ -424,7 +424,7 @@ class DataHandler:
             if hasattr(src, "at_points"):
                 vals = src.at_points(plat, plon)
                 for name, v in vals.items():
-                    valid = v > (-1000.0 if name == "lw_net" else -100.0)
+                    valid = v > valid_threshold(name)
                     data[name] = np.where(valid, v, data[name])
                     if name == "tair" and src.is_observation:
                         obs_tair = np.where(valid, v, obs_tair)

@@ -38,7 +38,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .config import MISSING
 from .forcing import (Calendar, Prepared, RawForcing, cof_window,
-                      prepare_window, relax_anchors)
+                      prepare_window, relax_anchors, valid_threshold)
 from .model import Model
 from .observability import Progress, RunMetrics
 from .ops import pallas_step as ps
@@ -303,7 +303,7 @@ def merge_windows(windows: Sequence[RawForcing]) -> RawForcing:
         return windows[0]
     out = {}
     for name in RawForcing._fields:
-        thr = -1000.0 if name == "lw_net" else -100.0
+        thr = valid_threshold(name)
         acc = getattr(windows[0], name)
         for w in windows[1:]:
             v = getattr(w, name)
@@ -328,7 +328,7 @@ class CompositeExpander:
             assert p.t_pad == self.t_pad, (p.t_pad, self.t_pad)
         self.first_host = {}
         for name in RawForcing._fields:
-            thr = -1000.0 if name == "lw_net" else -100.0
+            thr = valid_threshold(name)
             acc = np.asarray(self.parts[0].first_host[name])
             for p in self.parts[1:]:
                 v = np.asarray(p.first_host[name])
@@ -347,7 +347,7 @@ class CompositeExpander:
         outs = [p.host_at(sim_sel, names) for p in self.parts]
         merged = {}
         for n in names:
-            thr = -1000.0 if n == "lw_net" else -100.0
+            thr = valid_threshold(n)
             acc = outs[0][n]
             for o in outs[1:]:
                 acc = np.where(o[n] > thr, o[n], acc)
@@ -384,8 +384,6 @@ class GridExpander:
     def __init__(self, times, glats, glons, fields: dict, plat, plon,
                  sim_epochs, mesh, chunk_t: int, dtype=jnp.float32,
                  max_gap_s: float = 180 * 60.0):
-        from .io.gridsource import bilinear_at_points, interpolate_gapped, \
-            nearest_gapped
         plat = np.asarray(plat, np.float64)
         plon = np.asarray(plon, np.float64)
         self.num_points = Pn = len(plat)
@@ -448,15 +446,14 @@ class GridExpander:
         rep = NamedSharding(mesh, P())
         shp2 = NamedSharding(mesh, P(POINTS, None))
         fdt = np.float32 if dtype == jnp.float32 else np.float64
-        from .io.gridsource import nearest_corner_at_points
         self.var_names = [n for n in RawForcing._fields if n in fields]
+        self._href = (times, glats, glons, fields, plat, plon, sim)
+        self._pv_cache = {}        # name -> [P, R] float64 point series
         pv_dev = {}
         for name in self.var_names:
-            interp_sp = (nearest_corner_at_points if name == "prec_phase"
-                         else bilinear_at_points)
-            v = interp_sp(fields[name], glats, glons, plat, plon)
             pv_dev[name] = jax.device_put(
-                np.ascontiguousarray(v.T).astype(fdt), shp2)   # [P, K]
+                np.ascontiguousarray(
+                    self._point_series(name)).astype(fdt), shp2)   # [P, K]
         self._data = {
             "pv": pv_dev,
             "trw": jax.device_put((times - sim[0]).astype(fdt), rep),
@@ -467,36 +464,48 @@ class GridExpander:
             "havep": jax.device_put(have_n, rep),
         }
 
-        # host refs for first_host / host_at (grids are small; no copies)
-        self._href = (times, glats, glons, fields, plat, plon, sim)
         first = self._host_values(sim[:1], self.var_names)
         self.first_host = {
             n: (first[n][:, 0] if n in first
                 else np.full(Pn, -9999 if n == "prec_phase" else MISSING))
             for n in RawForcing._fields}
 
+    def _point_series(self, name) -> np.ndarray:
+        """Spatially-extracted [P, R] float64 series, cached: the bilinear /
+        nearest-corner pass is by far the heaviest part of host_at, and it
+        is identical on every call (the output writer and relaxation-anchor
+        derivation each redid it before)."""
+        if name not in self._pv_cache:
+            from .io.gridsource import bilinear_at_points, \
+                nearest_corner_at_points
+            times, glats, glons, fields, plat, plon, _ = self._href
+            interp_sp = (nearest_corner_at_points if name == "prec_phase"
+                         else bilinear_at_points)
+            self._pv_cache[name] = interp_sp(
+                fields[name], glats, glons, plat, plon).T          # [P, R]
+        return self._pv_cache[name]
+
     def _host_values(self, sim_abs, names) -> dict:
         """The GridSource.at_points pipeline (bilinear -> gap-capped time
         interp -> clamps -> Tdew/RH completion) at arbitrary epoch times;
-        returns {name: [P, n]} for requested names plus completion inputs."""
-        from .io.gridsource import bilinear_at_points, interpolate_gapped, \
-            nearest_corner_at_points, nearest_gapped
-        times, glats, glons, fields, plat, plon, _ = self._href
+        returns {name: [P, n]} for requested names plus completion inputs.
+        Mirrors GridSource.at_points value-for-value (incl. the NaN-aware
+        missing test)."""
+        from .io.gridsource import _is_missing, interpolate_gapped, \
+            nearest_gapped
+        times = self._href[0]
         Pn = self.num_points
         want = set(names) | ({"tair", "tdew", "rhz"} & set(self.var_names))
         sim_abs = np.asarray(sim_abs, np.int64)
         out = {}
         for name in sorted(want & set(self.var_names)):
-            interp_sp = (nearest_corner_at_points if name == "prec_phase"
-                         else bilinear_at_points)
-            pvh = interp_sp(fields[name], glats, glons,
-                            plat, plon).T                          # [P, R]
+            pvh = self._point_series(name)
             if name == "prec_phase":
                 v = nearest_gapped(times, sim_abs, pvh, self.max_gap_s)
             else:
                 v = interpolate_gapped(times, sim_abs, pvh, self.max_gap_s)
             if name == "rhz":
-                v = np.where(v <= -9000.0, v, np.clip(v, 0.0, 100.0))
+                v = np.where(_is_missing(v), v, np.clip(v, 0.0, 100.0))
             if name == "prec":
                 v = np.where(v > 100.0, MISSING, v)
             out[name] = v
@@ -505,10 +514,12 @@ class GridExpander:
             from .physics.moisture import rh_from_tdew, tdew_from_rh
             td = out.get("tdew", np.full_like(ta, MISSING))
             rh = out.get("rhz", np.full_like(ta, MISSING))
-            t_ok = ta > -9000.0
-            out["tdew"] = np.where((td <= -9000.0) & (rh > -9000.0) & t_ok,
+            t_ok = ~_is_missing(ta)
+            need_td = _is_missing(td) & ~_is_missing(rh) & t_ok
+            need_rh = _is_missing(rh) & ~_is_missing(td) & t_ok
+            out["tdew"] = np.where(need_td,
                                    np.asarray(tdew_from_rh(ta, rh)), td)
-            out["rhz"] = np.where((rh <= -9000.0) & (td > -9000.0) & t_ok,
+            out["rhz"] = np.where(need_rh,
                                   np.asarray(rh_from_tdew(ta, td)), rh)
         for n in names:
             if n not in out:

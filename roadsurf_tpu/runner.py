@@ -410,7 +410,7 @@ def run_production_config(config, settings, cal, sim_epochs, now, start, *,
             st_idx = np.full(P, -1, np.int64)
             ok = np.zeros(P, bool)
             anchors_st = None
-            g = lambda a, fill: np.full(P, fill)
+            # (every g() use below is inside a have_st branch)
 
         # expand per-point parameters from their stations
         pcfg = config.get("parameters", {}) or {}

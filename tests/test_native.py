@@ -154,3 +154,34 @@ def test_native_grid_extract_matches_numpy(monkeypatch):
             np.testing.assert_allclose(got, want, rtol=1e-13, atol=1e-11,
                                        err_msg=f"mode={mode} "
                                                f"desc={descending}")
+
+
+def test_native_grid_extract_degenerate_dims(monkeypatch):
+    """1-row / 1-column grids must not read out of bounds (the +1 bilinear
+    neighbor does not exist) and must match the numpy fallback, whose
+    negative-index wrap lands on the same single row/column."""
+    import numpy as np
+
+    from roadsurf_tpu.io import gridsource, native
+
+    assert native.load(build_if_missing=True) is not None
+    rng = np.random.default_rng(3)
+    for ny, nx in ((1, 9), (9, 1), (1, 1)):
+        lats = np.linspace(60.0, 61.0, ny)
+        lons = np.linspace(24.0, 25.0, nx)
+        field = rng.normal(0.0, 2.0, (3, ny, nx))
+        plat = rng.uniform(60.0, 61.0, 40)
+        plon = rng.uniform(24.0, 25.0, 40)
+        if ny == 1:
+            plat[:] = 60.0                  # inside test needs la[0]==la[-1]
+        if nx == 1:
+            plon[:] = 24.0
+        got = gridsource._native_extract(field, lats, lons, plat, plon, 0)
+        assert got is not None
+        with monkeypatch.context() as m:
+            m.setattr(native, "_lib", None)
+            m.setattr(native, "load", lambda build_if_missing=False: None)
+            want = gridsource.bilinear_at_points(field, lats, lons,
+                                                 plat, plon)
+        np.testing.assert_allclose(got, want, rtol=1e-13, atol=1e-11,
+                                   err_msg=f"ny={ny} nx={nx}")
