@@ -287,6 +287,47 @@ def nearest_gapped(raw_times: np.ndarray, sim_times: np.ndarray,
     return np.where(ex_ok, ex, res)
 
 
+def timeseries_at_points(times, pv: Dict[str, np.ndarray], sim_abs,
+                         max_gap_s: float = MAX_TIME_GAP_MIN * 60.0
+                         ) -> Dict[str, np.ndarray]:
+    """Per-variable raw->sim time interpolation with the reference's clamps
+    and the Tdew <-> RH completion, shared by GridSource.at_points and the
+    production GridExpander's host values (single source of the pipeline).
+
+    pv: spatially-extracted {name: [P, R]} series on ``times``; returns
+    {name: [P, S]} on ``sim_abs``.  Replicates QueryDataSource
+    update_timeseries: gap-capped linear interp (nearest for prec_phase,
+    :397-425), RH clamp / prec>100 missing (:867-872), and the completion
+    Magnus relations (:817-828, same as JsonSource.cpp:290-296)."""
+    out = {}
+    for name, series in pv.items():
+        if name == "prec_phase":
+            v = nearest_gapped(times, sim_abs, series, max_gap_s)
+        else:
+            v = interpolate_gapped(times, sim_abs, series, max_gap_s)
+        if name == "rhz":
+            v = np.where(_is_missing(v), v, np.clip(v, 0.0, 100.0))
+        if name == "prec":
+            v = np.where(v > 100.0, MISSING, v)
+        out[name] = v
+
+    tair = out.get("tair")
+    if tair is not None:
+        from ..physics.moisture import rh_from_tdew, tdew_from_rh
+        td = out.get("tdew", np.full_like(tair, MISSING))
+        rh = out.get("rhz", np.full_like(tair, MISSING))
+        t_ok = ~_is_missing(tair)
+        need_td = _is_missing(td) & ~_is_missing(rh) & t_ok
+        need_rh = _is_missing(rh) & ~_is_missing(td) & t_ok
+        if need_td.any():
+            out["tdew"] = np.where(need_td,
+                                   np.asarray(tdew_from_rh(tair, rh)), td)
+        if need_rh.any():
+            out["rhz"] = np.where(need_rh,
+                                  np.asarray(rh_from_tdew(tair, td)), rh)
+    return out
+
+
 class GridSource:
     """Gridded forecast/analysis source (the QueryDataSource equivalent).
 
@@ -338,37 +379,10 @@ class GridSource:
         """Extract all fields at points: bilinear in space, then the
         reference's per-variable time interpolation.  Returns
         {name: [P, S]}."""
-        out = {}
+        pv = {}
         for name, field in self.fields.items():
             interp_sp = (nearest_corner_at_points if name == "prec_phase"
                          else bilinear_at_points)
-            pv = interp_sp(field, self.lats, self.lons, plat, plon)
-            pv = np.moveaxis(pv, -1, 0)                         # [P, R]
-            if name == "prec_phase":
-                v = nearest_gapped(self.times, self.sim_times, pv)
-            else:
-                v = interpolate_gapped(self.times, self.sim_times, pv)
-            if name == "rhz":
-                v = np.where(_is_missing(v), v, np.clip(v, 0.0, 100.0))
-            if name == "prec":
-                v = np.where(v > 100.0, MISSING, v)   # :870-871
-            out[name] = v
-
-        # Tdew <-> RH completion (QueryDataSource update_timeseries computes
-        # the one not present from the other, QueryDataSource.cpp:817-828;
-        # same Magnus relations as JsonSource.cpp:290-296)
-        tair = out.get("tair")
-        if tair is not None:
-            from ..physics.moisture import rh_from_tdew, tdew_from_rh
-            td = out.get("tdew", np.full_like(tair, MISSING))
-            rh = out.get("rhz", np.full_like(tair, MISSING))
-            t_ok = ~_is_missing(tair)
-            need_td = _is_missing(td) & ~_is_missing(rh) & t_ok
-            need_rh = _is_missing(rh) & ~_is_missing(td) & t_ok
-            if need_td.any():
-                out["tdew"] = np.where(need_td,
-                                       np.asarray(tdew_from_rh(tair, rh)), td)
-            if need_rh.any():
-                out["rhz"] = np.where(need_rh,
-                                      np.asarray(rh_from_tdew(tair, td)), rh)
-        return out
+            pv[name] = np.moveaxis(
+                interp_sp(field, self.lats, self.lons, plat, plon), -1, 0)
+        return timeseries_at_points(self.times, pv, self.sim_times)

@@ -486,41 +486,18 @@ class GridExpander:
         return self._pv_cache[name]
 
     def _host_values(self, sim_abs, names) -> dict:
-        """The GridSource.at_points pipeline (bilinear -> gap-capped time
-        interp -> clamps -> Tdew/RH completion) at arbitrary epoch times;
-        returns {name: [P, n]} for requested names plus completion inputs.
-        Mirrors GridSource.at_points value-for-value (incl. the NaN-aware
-        missing test)."""
-        from .io.gridsource import _is_missing, interpolate_gapped, \
-            nearest_gapped
+        """The GridSource.at_points pipeline at arbitrary epoch times
+        (shared implementation: io.gridsource.timeseries_at_points over the
+        cached per-point series); returns {name: [P, n]} for requested
+        names, missing-filled for absent variables."""
+        from .io.gridsource import timeseries_at_points
         times = self._href[0]
         Pn = self.num_points
         want = set(names) | ({"tair", "tdew", "rhz"} & set(self.var_names))
         sim_abs = np.asarray(sim_abs, np.int64)
-        out = {}
-        for name in sorted(want & set(self.var_names)):
-            pvh = self._point_series(name)
-            if name == "prec_phase":
-                v = nearest_gapped(times, sim_abs, pvh, self.max_gap_s)
-            else:
-                v = interpolate_gapped(times, sim_abs, pvh, self.max_gap_s)
-            if name == "rhz":
-                v = np.where(_is_missing(v), v, np.clip(v, 0.0, 100.0))
-            if name == "prec":
-                v = np.where(v > 100.0, MISSING, v)
-            out[name] = v
-        ta = out.get("tair")
-        if ta is not None:
-            from .physics.moisture import rh_from_tdew, tdew_from_rh
-            td = out.get("tdew", np.full_like(ta, MISSING))
-            rh = out.get("rhz", np.full_like(ta, MISSING))
-            t_ok = ~_is_missing(ta)
-            need_td = _is_missing(td) & ~_is_missing(rh) & t_ok
-            need_rh = _is_missing(rh) & ~_is_missing(td) & t_ok
-            out["tdew"] = np.where(need_td,
-                                   np.asarray(tdew_from_rh(ta, rh)), td)
-            out["rhz"] = np.where(need_rh,
-                                  np.asarray(rh_from_tdew(ta, td)), rh)
+        pv = {n: self._point_series(n)
+              for n in sorted(want & set(self.var_names))}
+        out = timeseries_at_points(times, pv, sim_abs, self.max_gap_s)
         for n in names:
             if n not in out:
                 out[n] = np.full((Pn, len(sim_abs)),
