@@ -659,27 +659,31 @@ def unpack_state(tmp_f, scal_f, nlayers: int, state_template):
         failed=scal_f[R_FAILED] > 0.5)
 
 
-def pack_forcing(prep, sw_cof, lw_cof, coupling_tsurf):
-    """Prepared ([T, P] channels) -> [T, NCH, P] float32.
-
-    Pure-forcing thermodynamics are precomputed here instead of inside the
-    per-step kernel: eair (Magnus vapour pressure at the air temperature,
+def forcing_thermo(tair, rhz):
+    """Pure-forcing thermodynamics, precomputed out of the per-step kernel:
+    eair (Magnus vapour pressure at the air temperature,
     BoundaryLayer.f90:156-170) and the air volumetric heat capacity
-    rho_air*cp_air (BoundaryLayer.f90:33-36)."""
-    T, P = prep.tair.shape
-    f32 = lambda x: jnp.asarray(x, jnp.float32)
-    tair = f32(prep.tair)
-    rhz = f32(prep.rhz)
+    rho_air*cp_air (BoundaryLayer.f90:33-36).  float32 in/out; shared by
+    pack_forcing and the station-level prepared channels."""
     tak = tair + jnp.float32(273.15)
     air_dens = jnp.float32(100000.0) / (jnp.float32(287.05) * tak)
     air_hcap = (jnp.float32(1005.0)
                 + (tak - jnp.float32(250.0)) ** 2 / jnp.float32(3364.0))
+    eair = jnp.minimum(jnp.float32(0.01) * rhz, jnp.float32(1.0)) \
+        * _esat(tair)
+    return eair, air_hcap * air_dens
+
+
+def pack_forcing(prep, sw_cof, lw_cof, coupling_tsurf):
+    """Prepared ([T, P] channels) -> [T, NCH, P] float32."""
+    T, P = prep.tair.shape
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    tair = f32(prep.tair)
+    rhz = f32(prep.rhz)
     ch = [None] * NCH
     ch[C_TAIR] = tair
     ch[C_VZ] = f32(prep.vz)
-    ch[C_EAIR] = jnp.minimum(jnp.float32(0.01) * rhz, jnp.float32(1.0)) \
-        * _esat(tair)
-    ch[C_AIRVCAP] = air_hcap * air_dens
+    ch[C_EAIR], ch[C_AIRVCAP] = forcing_thermo(tair, rhz)
     ch[C_RAIN] = f32(prep.rain)
     ch[C_SNOW] = f32(prep.snow)
     ch[C_SW] = f32(prep.sw)

@@ -187,15 +187,9 @@ class StationExpander:
             f32 = lambda x: jnp.asarray(x, jnp.float32).T   # -> [S+1, T_pad]
             tair = jnp.asarray(prep.tair, jnp.float32)
             rhz = jnp.asarray(prep.rhz, jnp.float32)
-            tak = tair + jnp.float32(273.15)
-            air_dens = jnp.float32(100000.0) / (jnp.float32(287.05) * tak)
-            air_hcap = (jnp.float32(1005.0)
-                        + (tak - jnp.float32(250.0)) ** 2
-                        / jnp.float32(3364.0))
-            eair = jnp.minimum(jnp.float32(0.01) * rhz, jnp.float32(1.0)) \
-                * ps._esat(tair)
+            eair, airvcap = ps.forcing_thermo(tair, rhz)
             return ({ps.C_TAIR: f32(prep.tair), ps.C_VZ: f32(prep.vz),
-                     ps.C_EAIR: eair.T, ps.C_AIRVCAP: (air_hcap * air_dens).T,
+                     ps.C_EAIR: eair.T, ps.C_AIRVCAP: airvcap.T,
                      ps.C_RAIN: f32(prep.rain), ps.C_SNOW: f32(prep.snow),
                      ps.C_SW: f32(prep.sw), ps.C_LW: f32(prep.lw),
                      ps.C_TSURF_OBS: f32(prep.tsurf_obs),

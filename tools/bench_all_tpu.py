@@ -22,7 +22,7 @@ import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-STAGES = ("coupled", "chunk", "chunk_grid", "inner", "full")
+STAGES = ("coupled", "chunk_fast", "chunk", "chunk_grid", "inner", "full")
 
 
 def _stage(name, fn):
@@ -45,6 +45,9 @@ def main(argv=None):
         if name == "chunk":
             from tools.bench_chunk import main as m
             _stage(name, lambda: m([]))
+        elif name == "chunk_fast":
+            from tools.bench_chunk import main as m
+            _stage(name, lambda: m(["--fast"]))
         elif name == "chunk_grid":
             from tools.bench_chunk import main as m
             _stage(name, lambda: m(["--grid"]))
