@@ -17,6 +17,10 @@ _LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libroadsurf_native.so"))
 
 _lib = None
 _load_failed = False
+_retry_left = 1     # one build_if_missing retry past a cached failure: a
+                    # transient failure (concurrent `make` mid-write leaving a
+                    # truncated .so, first CalledProcessError) should not
+                    # disable the native path for the whole process
 
 
 _ABI_VERSION = 2
@@ -25,12 +29,16 @@ _ABI_VERSION = 2
 def load(build_if_missing: bool = False):
     """Load (optionally build) the native library; returns None if
     unavailable.  A failed build/load is cached so hot paths calling this
-    per array do not re-spawn a failing `make` every time."""
-    global _lib, _load_failed
+    per array do not re-spawn a failing `make` every time; one explicit
+    ``build_if_missing=True`` call may retry past the cached failure."""
+    global _lib, _load_failed, _retry_left
     if _lib is not None:
         return _lib
     if _load_failed:
-        return None
+        if not (build_if_missing and _retry_left > 0):
+            return None
+        _retry_left -= 1
+        _load_failed = False
     src = os.path.join(os.path.abspath(_NATIVE_DIR), "roadsurf_native.cpp")
     stale = (os.path.exists(_LIB_PATH) and os.path.exists(src)
              and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
@@ -46,8 +54,21 @@ def load(build_if_missing: bool = False):
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
-        _load_failed = True
-        return None
+        # possibly a stale/partial artifact from a concurrent build: rebuild
+        # once before latching
+        if build_if_missing:
+            try:
+                subprocess.run(["make", "-B", "-C",
+                                os.path.abspath(_NATIVE_DIR)],
+                               check=True, capture_output=True)
+                lib = ctypes.CDLL(_LIB_PATH)
+            except (subprocess.CalledProcessError, FileNotFoundError,
+                    OSError):
+                _load_failed = True
+                return None
+        else:
+            _load_failed = True
+            return None
     lib.rs_version.restype = ctypes.c_int
     if lib.rs_version() != _ABI_VERSION:
         _load_failed = True

@@ -47,6 +47,12 @@ class RunMetrics:
     def count(self, name: str, value: float):
         self.counters[name] = value
 
+    def note(self, msg: str):
+        """One-line engine decision note (fast-path fallbacks etc.); printed
+        only in announce (verbose) mode so slow paths are never silent."""
+        if self.announce:
+            print(f"[engine] {msg}", file=sys.stderr, flush=True)
+
     def report(self, stream=sys.stderr):
         doc = {"phases_s": {k: round(v, 4) for k, v in self.phases.items()},
                "counters": self.counters}

@@ -213,6 +213,7 @@ class StationExpander:
         chans, trf = jax.jit(_prep, out_shardings=out_sh)(
             self.channels, pts_dev, anch_dev)
         S = np.asarray(self._raw_host.tair).shape[0]
+        self._prep_st_pts = st_pts         # host, rank S+1 (contract check)
         self.prep_data = {
             "ch": chans, "trf": trf,
             "sidx": jax.device_put(
@@ -349,6 +350,106 @@ class CompositeExpander:
         return merged
 
 
+#: CheckValues input ranges (src/InputOutput.f90:55-82); a value outside its
+#: range (or missing, -9999.9) poisons the point from that step on.
+CHECK_RANGES = (("tair", -90.0, 100.0), ("tdew", -90.0, 100.0),
+                ("rhz", -0.1, 120.0), ("vz", -1.0, 100.0),
+                ("sw", -0.1, 4000.0), ("lw", -0.1, 1000.0),
+                ("prec", -0.1, 500.0))
+
+
+def validation_counts(expander, mesh, T: int, chunk_t: int = 64,
+                      n_real: Optional[int] = None):
+    """Per-variable CheckValues failure screen over the MERGED forcing.
+
+    The reference reports per-variable missing required input up-front and
+    skips those points (examples/example1/src/roadrunner.cpp:183-231).  With
+    grid sources overlaying stations the up-front station-level check is
+    skipped (the grid may fill the gaps), so this streams the merged
+    on-device forcing chunk-by-chunk and counts, per variable, the points
+    carrying any out-of-range/missing value (the final step is exempt --
+    CheckValues does not run there, Simulation.f90:100-113).
+
+    Returns ({var: point_count}, total_distinct_points).  Cost is one
+    expansion pass (~prep-only rate); intended for verbose runs.
+    """
+    data = expander.device_data
+    Pn = expander.num_points
+    shp = NamedSharding(mesh, P(None, POINTS))
+
+    @jax.jit
+    def acc_chunk(bad, t0, data):
+        raw = expander.window(data, t0, chunk_t)
+        trow = t0 + jnp.arange(chunk_t)
+        live = (trow < T - 1)[:, None]
+        upd = []
+        for name, lo, hi in CHECK_RANGES:
+            v = getattr(raw, name)
+            b = ((v < lo) | (v > hi)) & live
+            upd.append(b.any(axis=0))
+        return bad | jnp.stack(upd)
+
+    bad = jax.device_put(np.zeros((len(CHECK_RANGES), Pn), bool), shp)
+    for t0 in range(0, max(T - 1, 1), chunk_t):
+        bad = acc_chunk(bad, np.int32(t0), data)
+    badh = _to_host(bad)
+    if n_real is not None:
+        badh = badh[:, :n_real]
+    counts = {name: int(c) for (name, _, _), c
+              in zip(CHECK_RANGES, badh.sum(axis=1))}
+    return counts, int(badh.any(axis=0).sum())
+
+
+def last_valid_scan(expander, mesh, T: int, chunk_t: int = 64,
+                    names=("tsurf_obs",), n_real: Optional[int] = None):
+    """Per-point last-valid 0-based sim index + value of merged forcing
+    channels, computed on device chunk-by-chunk.
+
+    This recovers the two per-point scalars the reference driver derives by
+    scanning the full obs series host-side -- the coupling observation
+    (latest valid TSurfObs + its index, examples/example1/src/
+    roadrunner.cpp:258-276 / examples/example2/src/QueryDataSource.cpp:905-977)
+    and the relaxation anchor index (GetLatestObsIndex, JsonSource.cpp:397-414)
+    -- without materializing the [P, T] series the grid expanders never build.
+
+    Returns {name: (last_idx [P] int32 (-1 = none), value_at_last [P])}.
+    """
+    data = expander.device_data
+    Pn = expander.num_points
+    shp = NamedSharding(mesh, P(POINTS))
+
+    @jax.jit
+    def acc(carry, t0, data):
+        raw = expander.window(data, t0, chunk_t)
+        trow = (t0 + jnp.arange(chunk_t))[:, None]
+        live = trow < T
+        out = {}
+        for n in names:
+            idx, val = carry[n]
+            v = jnp.asarray(getattr(raw, n), val.dtype)
+            valid = (v > valid_threshold(n)) & live
+            any_v = valid.any(axis=0)
+            lastk = chunk_t - 1 - jnp.argmax(valid[::-1], axis=0)
+            vlast = jnp.take_along_axis(v, lastk[None, :], axis=0)[0]
+            out[n] = (jnp.where(any_v, t0 + lastk, idx).astype(jnp.int32),
+                      jnp.where(any_v, vlast, val))
+        return out
+
+    carry = {n: (jax.device_put(np.full(Pn, -1, np.int32), shp),
+                 jax.device_put(np.full(Pn, MISSING, np.float32), shp))
+             for n in names}
+    for t0 in range(0, T, chunk_t):
+        carry = acc(carry, np.int32(t0), data)
+    out = {}
+    for n in names:
+        idx, val = carry[n]
+        idxh, valh = _to_host(idx), _to_host(val)
+        if n_real is not None:
+            idxh, valh = idxh[:n_real], valh[:n_real]
+        out[n] = (idxh, valh)
+    return out
+
+
 class GridExpander:
     """On-device gridded-NWP -> point forcing expansion (the QueryDataSource
     grid path, examples/example2/src/QueryDataSource.cpp:585-722, streamed).
@@ -448,6 +549,12 @@ class GridExpander:
             pv_dev[name] = jax.device_put(
                 np.ascontiguousarray(
                     self._point_series(name)).astype(fdt), shp2)   # [P, K]
+        # the cache holds [P, R] float64 per variable (~0.6 GB each at 1M
+        # points): keep only the host_at staples (output writer / anchor
+        # derivation); anything else rebuilds lazily via _point_series
+        for name in list(self._pv_cache):
+            if name not in ("tair", "tdew", "rhz"):
+                del self._pv_cache[name]
         self._data = {
             "pv": pv_dev,
             "trw": jax.device_put((times - sim[0]).astype(fdt), rep),
@@ -759,6 +866,19 @@ class _Engine:
         # entirely; per-point sky-view correction cannot ride them
         self.fast = (not self.enable_sky
                      and getattr(expander, "prep_data", None) is not None)
+        if self.fast:
+            self._check_fast_contract(expander, pts)
+            self.metrics.note("station-level prepared channels active "
+                              "(fast forcing prep)")
+        elif self.enable_sky:
+            self.metrics.note(
+                "sky-view correction is per-point: generic per-point "
+                "forcing prep (station fast path disabled; see docs/"
+                "MANUAL.md engine/feature matrix)")
+        elif isinstance(expander, StationExpander):
+            self.metrics.note(
+                "station expander built without prep_ctx: generic "
+                "per-point forcing prep")
         # fixed output-row allocation: the max stride hits any chunk can
         # contain (keeps the jit variant count small: main + ragged chunks)
         self.k_alloc = (chunk_t - 1) // self.os_ + 1
@@ -775,6 +895,61 @@ class _Engine:
         self.data_shapes = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
                                            sharding=x.sharding), self.data)
+
+    def _check_fast_contract(self, expander, pts):
+        """The station-level fast path is only valid when every per-point
+        prep parameter equals its station's (param i == st_pts[st_idx[i]],
+        virtual row S for out-of-radius points).  The runner builds this by
+        construction; a library caller passing a prep_ctx expander with
+        mismatched per-point params would get silently wrong physics --
+        so spot-check the gathered params here and fail loudly."""
+        st_pts = getattr(expander, "_prep_st_pts", None)
+        if st_pts is None:
+            return
+        S = np.asarray(expander._raw_host.tair).shape[0]
+        ok = np.asarray(expander._ok_host)[:self.n_real]
+        sidx = np.where(ok, np.asarray(expander._ie_host)[:self.n_real], S)
+        gat = lambda n: np.asarray(getattr(st_pts, n), np.float64)[sidx]
+        got = lambda n: np.asarray(getattr(pts, n), np.float64)
+
+        def fail(name, mask):
+            bad = int(np.argmax(mask))
+            raise ValueError(
+                f"station-level fast path contract violated at point {bad} "
+                f"({name}: per-point {got(name)[bad]!r} vs st_pts"
+                f"[{sidx[bad]}] {gat(name)[bad]!r}); the prep_ctx expander "
+                f"requires param i == st_pts[st_idx[i]] for every "
+                f"prep-relevant field (build pts by gathering st_pts, or "
+                f"drop prep_ctx to use the generic path)")
+
+        if not np.array_equal(gat("init_len"), got("init_len")):
+            fail("init_len", gat("init_len") != got("init_len"))
+        # relaxation validity is joint over the three fields
+        # (forcing.prepare_window relax_valid); where OFF on both sides the
+        # raw sentinels may differ
+        def relax_on(t, v, r):
+            return ((t >= -100.0) & (t <= 100.0) & (v >= 0.0) & (v <= 100.0)
+                    & (r >= 0.0) & (r <= 110.0))
+        names = ("tair_relax", "vz_relax", "rh_relax")
+        on_w = relax_on(*(gat(n) for n in names))
+        on_g = relax_on(*(got(n) for n in names))
+        if not np.array_equal(on_w, on_g):
+            fail("relax validity", on_w != on_g)
+        for n in names:
+            bad = on_w & (gat(n).astype(got(n).dtype) != got(n))
+            if bad.any():
+                fail(n, bad)
+        # coupling activity (production coupled driver + prepare_window)
+        def cpl_on(end, obs):
+            return (end >= 1) & (obs > -100.0)
+        cw = cpl_on(gat("coupling_end"), gat("coupling_tsurf"))
+        cg = cpl_on(got("coupling_end"), got("coupling_tsurf"))
+        if not np.array_equal(cw, cg):
+            fail("coupling activity", cw != cg)
+        for n in ("coupling_start", "coupling_end", "coupling_tsurf"):
+            bad = cw & (gat(n).astype(got(n).dtype) != got(n))
+            if bad.any():
+                fail(n, bad)
 
     # -- chunk functions ----------------------------------------------------
 

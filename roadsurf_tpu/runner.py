@@ -340,12 +340,10 @@ def run_production_config(config, settings, cal, sim_epochs, now, start, *,
                      if hasattr(s, "at_points")]
         station_srcs = [s for s in handler.sources
                         if not hasattr(s, "at_points")]
-        for _, s in grid_srcs:
-            if s.is_observation and (settings.use_coupling
-                                     or settings.use_relaxation):
-                raise SystemExit(
-                    "grid observation sources with coupling/relaxation "
-                    "need the [P, T] obs series; run with --engine scan")
+        # any grid source carrying tsurf_obs changes the MERGED obs series,
+        # so coupling windows must derive per point from the composite
+        # expander (device scan) instead of at station level
+        grid_has_obsts = any("tsurf_obs" in s.fields for _, s in grid_srcs)
 
         sub = DataHandler(station_srcs)
         have_st = bool(station_srcs) and bool(sub.point_ids())
@@ -367,11 +365,19 @@ def run_production_config(config, settings, cal, sim_epochs, now, start, *,
                           f"({int((st_idx < 0).sum())} outside station "
                           f"radius)")
 
-            # station-level read_input semantics (derive + obs blanking)
+            # station-level read_input semantics (derive + obs blanking).
+            # When a grid source carries tsurf_obs the coupling windows are
+            # per-point properties of the MERGED series (derived below via
+            # production.last_valid_scan); the station-level blanking is then
+            # skipped -- prepare_window's in/after-window obs mask with the
+            # per-point windows subsumes it (the blanked rows are a subset of
+            # the rows the mask already suppresses, see
+            # tests/test_production_grid.py::test_production_grid_coupled_matches_scan)
             pts_st, blanked_st = derive_point_params(
                 raw_st, settings,
                 obs_tair=obs_tair_st if handler.sources else None)
-            raw_st = raw_st._replace(tsurf_obs=blanked_st)
+            if not (settings.use_coupling and grid_has_obsts):
+                raw_st = raw_st._replace(tsurf_obs=blanked_st)
 
             # required-variable validation (roadrunner.cpp:183-231) --
             # station level; a bad station poisons every point mapped to it
@@ -404,9 +410,9 @@ def run_production_config(config, settings, cal, sim_epochs, now, start, *,
             ie = np.where(ok, st_idx, 0)
             g = lambda a, fill: np.where(ok, np.asarray(a)[ie], fill)
         else:
-            if settings.use_coupling and verbose:
-                print("No station sources: coupling inactive (grid obs are "
-                      "unsupported in the streamed engine)")
+            if settings.use_coupling and verbose and not grid_has_obsts:
+                print("No station sources and no grid tsurf_obs: coupling "
+                      "inactive")
             st_idx = np.full(P, -1, np.int64)
             ok = np.zeros(P, bool)
             anchors_st = None
@@ -454,6 +460,7 @@ def run_production_config(config, settings, cal, sim_epochs, now, start, *,
         # station sources collapse into one part at the first station
         # source's position (DataHandler.merged already overlays them)
         parts = []
+        gexp_by_src = {}
         if have_st:
             st_idx_pad = np.pad(np.asarray(st_idx), (0, p_pad - P),
                                 constant_values=-1)
@@ -502,18 +509,59 @@ def run_production_config(config, settings, cal, sim_epochs, now, start, *,
             lon_pad = production._pad_tail(np.asarray(lons, np.float64),
                                            p_pad)
             for i, s in grid_srcs:
-                parts.append((i, production.GridExpander(
+                gexp = production.GridExpander(
                     s.times, s.lats, s.lons, s.fields, lat_pad, lon_pad,
-                    sim_epochs, mesh, chunk_t=chunk_t)))
+                    sim_epochs, mesh, chunk_t=chunk_t)
+                gexp_by_src[i] = gexp
+                parts.append((i, gexp))
         parts = [p for _, p in sorted(parts, key=lambda t: t[0])]
         expander = (parts[0] if len(parts) == 1
                     else production.CompositeExpander(parts))
 
-        if grid_srcs and have_st and settings.use_relaxation:
+        if grid_srcs and verbose:
+            # the up-front station required-var check was skipped (grid
+            # sources may fill the gaps): recover the reference's per-point
+            # skip report from the MERGED forcing (roadrunner.cpp:183-231)
+            counts, n_bad = production.validation_counts(
+                expander, mesh, sim_len, chunk_t=chunk_t, n_real=P)
+            if n_bad:
+                per_var = ", ".join(f"{k}={v}" for k, v in counts.items()
+                                    if v)
+                print(f"Post-merge CheckValues screen: {n_bad}/{P} points "
+                      f"carry invalid/missing input and will fail in-kernel "
+                      f"({per_var})")
+            else:
+                print("Post-merge CheckValues screen: all points valid")
+
+        if settings.use_coupling and grid_has_obsts:
+            # coupling window from the MERGED obs series, per point: last
+            # valid TSurfObs index/value via a device scan over the composite
+            # (read_input derivation, examples/example1/src/roadrunner.cpp:
+            # 258-276 on the DataManager-merged series); replaces the
+            # station-level derivation, which cannot see grid obs
+            lv = production.last_valid_scan(
+                expander, mesh, sim_len, chunk_t=chunk_t,
+                names=("tsurf_obs",), n_real=P)
+            i0, obs_v = lv["tsurf_obs"]
+            cl = int(settings.coupling_minutes * 60 / settings.dt)
+            usable = i0 >= cl
+            pts = pts._replace(
+                coupling_tsurf=np.where(usable, obs_v.astype(np.float64),
+                                        -9999.9),
+                coupling_end=np.where(usable, i0, -99).astype(np.int32),
+                coupling_start=np.where(usable, np.maximum(i0 - cl, 1),
+                                        -99).astype(np.int32))
+            if verbose:
+                print(f"Grid-obs coupling: {int(usable.sum())}/{P} points "
+                      f"carry a usable merged obs window")
+
+        if grid_srcs and settings.use_relaxation:
             # the relaxation fields read the MERGED overlay (read_input works
             # on DataManager-merged per-point arrays, roadrunner.cpp:157-278)
-            # -- re-derive them per point: the anchor step comes from the
-            # station obs, the values from grid+station overlay at that step
+            # -- re-derive them per point: the anchor step is the latest obs
+            # over ALL observation sources (station obs gathered host-side,
+            # grid obs via a device scan), the values from the grid+station
+            # overlay at that step
             from .io.driver import latest_obs_index
 
             def merged_at(step_p, names):
@@ -535,7 +583,18 @@ def run_production_config(config, settings, cal, sim_epochs, now, start, *,
                                             out_v[n])
                 return out_v
 
-            last_p = g(latest_obs_index(obs_tair_st), -9999).astype(np.int64)
+            last_p = (g(latest_obs_index(obs_tair_st),
+                        -9999).astype(np.int64) if have_st
+                      else np.full(P, -9999, np.int64))
+            for i, s in grid_srcs:
+                if not s.is_observation or "tair" not in s.fields:
+                    continue
+                lvg = production.last_valid_scan(
+                    gexp_by_src[i], mesh, sim_len, chunk_t=chunk_t,
+                    names=("tair",), n_real=P)
+                li0 = lvg["tair"][0].astype(np.int64)    # 0-based sim index
+                last_p = np.maximum(                     # 1-based, max over
+                    last_p, np.where(li0 >= 0, li0 + 1, -9999))  # obs srcs
             has_p = last_p > -1
             init_len = np.where(has_p, last_p, 1).astype(np.int32)
             # X_R values at the one-past-the-obs read index (driver quirk,

