@@ -127,7 +127,8 @@ def relax_anchors(raw: RawForcing, pts: PointParams):
 def prepare_window(rawT: RawForcing, pts: PointParams, hour, settings, p,
                    t_offset=0, t_total: int = None, anchors=None, jde=None,
                    use_relaxation: Optional[jnp.ndarray] = None,
-                   enable_skyview: bool = False) -> Prepared:
+                   enable_skyview: bool = False,
+                   flat_horizons: bool = False) -> Prepared:
     """Window-parameterized, time-major forcing preparation (jit-safe).
 
     The production engine streams forcing in time chunks (the full [T, P]
@@ -180,7 +181,8 @@ def prepare_window(rawT: RawForcing, pts: PointParams, hour, settings, p,
         pm = lambda x: jnp.swapaxes(x, 0, 1)                    # <-> [P, Tc]
         sw_m, lw_m = modify_radiation(pm(sw), pm(sw_dir), pm(lw),
                                       pm(rawT.lw_net), elev, azim,
-                                      pts.sky_view[..., None], pts.horizons, p)
+                                      pts.sky_view[..., None], pts.horizons,
+                                      p, flat_horizons=flat_horizons)
         sw = jnp.where(pvec(skyview_active), pm(sw_m), sw)
         lw = jnp.where(pvec(skyview_active), pm(lw_m), lw)
 

@@ -120,6 +120,50 @@ def write_forecast_grid(path: str, grid_lats, grid_lons, keep, sim_epochs,
         mask=keep, **grids)
 
 
+def write_shard_npz(path: str, point_range, out_steps, fields: dict,
+                    epochs=None):
+    """Per-process output shard with a range manifest: the multi-host
+    output path (ProductionResult from ``drain='shard'``).  Each host
+    writes ONLY its own [lo, hi) point columns -- the cross-host analogue
+    of the reference's disjoint-row writes into one shared querydata
+    object (examples/example2/src/QueryDataTools.cpp:299-345).  Rejoin
+    with :func:`merge_shards`."""
+    lo, hi = point_range
+    np.savez_compressed(
+        path, lo=np.int64(lo), hi=np.int64(hi),
+        steps=np.asarray(out_steps, np.int64),
+        epochs=(np.asarray(epochs, np.int64) if epochs is not None
+                else np.zeros(0, np.int64)),
+        **{k: np.asarray(v, np.float32) for k, v in fields.items()})
+
+
+def merge_shards(paths):
+    """Assemble shard files written by :func:`write_shard_npz` into the
+    full (out_steps, fields {name: [n_out, P]}); validates that the ranges
+    tile [0, P) exactly."""
+    metas = []
+    for p in paths:
+        with np.load(p) as z:
+            metas.append((int(z["lo"]), int(z["hi"]), dict(z)))
+    metas.sort(key=lambda m: m[0])
+    steps = metas[0][2]["steps"]
+    cur = 0
+    parts = []
+    for lo, hi, z in metas:
+        if lo != cur:
+            raise ValueError(f"shard ranges do not tile: gap/overlap at "
+                             f"{cur} (next shard starts {lo})")
+        if not np.array_equal(z["steps"], steps):
+            raise ValueError("shard output steps disagree")
+        cur = hi
+        parts.append(z)
+    names = [k for k in metas[0][2]
+             if k not in ("lo", "hi", "steps", "epochs")]
+    fields = {n: np.concatenate([z[n] for _, _, z in metas], axis=-1)
+              for n in names}
+    return steps, fields
+
+
 def save_checkpoint(path: str, state, point_ids, sim_epoch_end: int):
     """Binary prognostic-state checkpoint (the reference has none -- it
     reconstructs from obs+climatology each cycle; SURVEY.md section 5).  The

@@ -332,14 +332,21 @@ def _road_cond(wat, snow, ice, ice2, dep, tsurf, evap, q2, t4, vcold,
 
 
 def _make_kernel(nsteps, chunk_t, out_stride, cfg, p, dyc, cond_dz, wcont,
-                 bl_iters, tile_p, lpad):
+                 bl_iters, tile_p, lpad, tile_major=False,
+                 have_cofs=False, t_total=None, cof_red=None):
     subl = tile_p // LANE
     nlayers = len(dyc)
     nchunks = -(-nsteps // chunk_t)
     dt = cfg.dt
 
-    def kernel(off_smem, forc_hbm, tmp_init, scal_init, out_hbm, tmp_out,
-               scal_out, fbuf, obuf, in_sems, out_sem):
+    def kernel(off_smem, forc_hbm, tmp_init, scal_init, *rest):
+        if have_cofs:
+            # cof_rows [4, subl, LANE]: sw_corr, lw_corr, coupling_end, pad
+            (cof_in, out_hbm, tmp_out, scal_out, fbuf, obuf, in_sems,
+             out_sem) = rest
+        else:
+            (out_hbm, tmp_out, scal_out, fbuf, obuf, in_sems,
+             out_sem) = rest
         tile = pl.program_id(0)
         p0 = tile * subl
         # global step offset of this call (the production engine streams the
@@ -353,10 +360,17 @@ def _make_kernel(nsteps, chunk_t, out_stride, cfg, p, dyc, cond_dz, wcont,
         scal_out[...] = scal_init[...]
 
         def in_dma(slot, chunk):
-            return pltpu.make_async_copy(
-                forc_hbm.at[pl.ds(chunk * chunk_t, chunk_t), :,
-                            pl.ds(p0, subl), :],
-                fbuf.at[slot], in_sems.at[slot])
+            if tile_major:
+                # forcing [n_tiles, T, NCH, subl, LANE]: each tile's chunk
+                # slice is fully CONTIGUOUS in HBM (the fused station->point
+                # expansion writes tile-major so no transpose exists
+                # anywhere between the MXU expansion and this DMA)
+                src = forc_hbm.at[tile, pl.ds(chunk * chunk_t, chunk_t)]
+            else:
+                src = forc_hbm.at[pl.ds(chunk * chunk_t, chunk_t), :,
+                                  pl.ds(p0, subl), :]
+            return pltpu.make_async_copy(src, fbuf.at[slot],
+                                         in_sems.at[slot])
 
         in_dma(0, 0).start()
 
@@ -373,6 +387,7 @@ def _make_kernel(nsteps, chunk_t, out_stride, cfg, p, dyc, cond_dz, wcont,
                 t = chunk * chunk_t + tlocal
                 f = fbuf[slot, tlocal]       # [NCH, SUBL, LANE]
                 run = t < nsteps
+                tg = jnp.asarray(t, jnp.int32) + off
 
                 tmp = tmp_out[...]
                 sc = scal_out[...]
@@ -419,11 +434,35 @@ def _make_kernel(nsteps, chunk_t, out_stride, cfg, p, dyc, cond_dz, wcont,
                 le = jnp.where(dry, 0.0, le)
                 evap = jnp.where(dry, 0.0, evap)
 
-                # net radiation
+                # net radiation; under have_cofs the post-coupling decayed
+                # radiation coefficients are computed IN KERNEL from the
+                # per-point correction/window rows (forcing.cof_window
+                # semantics, src/Coupling.f90:82-88 + the lastValues reuse)
+                # so the fused tile-major forcing needs no per-point channel
+                sw_cof, lw_cof = f[C_SWCOF], f[C_LWCOF]
+                if have_cofs:
+                    i = tg + np.int32(1)
+                    last_q = (tg == np.int32(t_total - 1)) if t_total >= 2 \
+                        else False
+                    i_eff = jnp.where(last_q, i - 1, i) if t_total >= 2 else i
+                    cend_f = cof_in[2]
+                    i_eff_f = i_eff.astype(jnp.float32)
+                    dts = jnp.float32(dt)
+                    expo = (-(dts * i_eff_f - dts * cend_f)
+                            / jnp.float32(cof_red))
+                    dec = jnp.exp(jnp.minimum(expo, jnp.float32(0.0)))
+                    on = ((i_eff_f >= cend_f)
+                          & (cend_f >= jnp.float32(1.0)))
+                    sw_cof = sw_cof * jnp.where(
+                        on, jnp.float32(1.0) + cof_in[0] * dec,
+                        jnp.float32(1.0))
+                    lw_cof = lw_cof * jnp.where(
+                        on, jnp.float32(1.0) + cof_in[1] * dec,
+                        jnp.float32(1.0))
                 tk = tsurf + 273.15
                 tk2 = tk * tk
-                rnet = ((1.0 - sc[R_ALBEDO]) * f[C_SW] * f[C_SWCOF]
-                        + p.emiss * f[C_LW] * f[C_LWCOF]
+                rnet = ((1.0 - sc[R_ALBEDO]) * f[C_SW] * sw_cof
+                        + p.emiss * f[C_LW] * lw_cof
                         - p.emiss * p.sb_const * tk2 * tk2)
 
                 # stencil
@@ -474,7 +513,6 @@ def _make_kernel(nsteps, chunk_t, out_stride, cfg, p, dyc, cond_dz, wcont,
                 # semantics).  Output events are rare (out_stride is ~30-60
                 # min in production) so each is its own small DMA -- this
                 # decouples out_stride from the forcing chunk size.
-                tg = jnp.asarray(t, jnp.int32) + off
                 @pl.when(run & (jax.lax.rem(tg, os32) == 0))
                 def _():
                     poison = failed_prev
@@ -508,17 +546,27 @@ def pallas_scan(tmp0, scal0, forcing, cfg: StepConfig, p: PhysicsParams,
                 grid: LayerGrid, out_stride: int = 1, chunk_t: int = 8,
                 tile_p: int = None, bl_iters: int = 40,
                 interpret: bool = False, nsteps: int = None,
-                out_offset=None, n_out: int = None):
+                out_offset=None, n_out: int = None,
+                cof_rows=None, t_total: int = None, cof_red: float = None):
     """Run the fused forecast scan.
 
     tmp0: [LPAD, P] float32 initial profile (row 0 air, rows 1..L ground,
     row L+1 climatology; LPAD >= L+2, padded rows ignored);
     scal0: [NROWS, P] packed scalar state;
-    forcing: [T, NCH, P] packed forcing channels.
+    forcing: [T, NCH, P] packed forcing channels, OR tile-major
+    [n_tiles, T, NCH, subl, LANE] (the fused-expansion layout: each tile's
+    forcing is contiguous; detected by ndim == 5).
 
     nsteps: actual step count when < T (the production engine pads the final
     streaming chunk to the chunk_t multiple; steps >= nsteps are no-ops --
     the kernel's ``run`` mask covers exactly this).
+
+    cof_rows: optional [4, P] float32 (sw_corr, lw_corr, coupling_end, pad):
+    the post-coupling radiation coefficients are then computed in kernel
+    per step (forcing.cof_window semantics; requires ``t_total`` -- the
+    full run length for the lastValues reuse -- and ``cof_red`` =
+    settings.coupling_effect_reduction) and MULTIPLY the forcing's
+    SWCOF/LWCOF channels.
 
     out_offset: GLOBAL step index of this call's first step (traced scalar
     ok).  Output rows are collected where (out_offset + t) %% out_stride == 0
@@ -532,8 +580,15 @@ def pallas_scan(tmp0, scal0, forcing, cfg: StepConfig, p: PhysicsParams,
     when out_offset is not given.
     """
     lpad, P = tmp0.shape
-    T = forcing.shape[0]
-    tile_p = tile_p or min(TILE_P, P)
+    tile_major = forcing.ndim == 5
+    T = forcing.shape[1] if tile_major else forcing.shape[0]
+    if tile_major:
+        n_tiles_f, _, nch_f, subl_f, lane_f = forcing.shape
+        assert nch_f == NCH and lane_f == LANE, forcing.shape
+        tile_p = subl_f * LANE
+        assert n_tiles_f * tile_p == P, (forcing.shape, P)
+    else:
+        tile_p = tile_p or min(TILE_P, P)
     assert tile_p % LANE == 0, tile_p
     assert P % tile_p == 0, (P, tile_p)
     subl = tile_p // LANE
@@ -551,14 +606,22 @@ def pallas_scan(tmp0, scal0, forcing, cfg: StepConfig, p: PhysicsParams,
     rows = P // LANE                      # trailing (rows, LANE) point layout
     tmp0 = tmp0.reshape(lpad, rows, LANE)
     scal0 = scal0.reshape(NROWS, rows, LANE)
-    forcing = forcing.reshape(T, NCH, rows, LANE)
+    if not tile_major:
+        forcing = forcing.reshape(T, NCH, rows, LANE)
+
+    have_cofs = cof_rows is not None
+    if have_cofs:
+        assert t_total is not None and cof_red is not None
+        cof_rows = jnp.asarray(cof_rows, jnp.float32).reshape(4, rows, LANE)
 
     kernel, nchunks = _make_kernel(
         nsteps, chunk_t, out_stride, cfg, p,
         tuple(np.asarray(grid.dyc, np.float32).tolist()),
         tuple(np.asarray(grid.cond_dz, np.float32).tolist()),
         tuple(np.asarray(grid.wcont, np.float32).tolist()),
-        bl_iters, tile_p, lpad)
+        bl_iters, tile_p, lpad, tile_major=tile_major,
+        have_cofs=have_cofs, t_total=t_total,
+        cof_red=float(cof_red) if have_cofs else None)
 
     n_tiles = P // tile_p
     out_shape = (
@@ -568,17 +631,23 @@ def pallas_scan(tmp0, scal0, forcing, cfg: StepConfig, p: PhysicsParams,
         jax.ShapeDtypeStruct((NROWS, rows, LANE), jnp.float32),
     )
     flops_per_point_step = 600.0
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # global step offset
+        pl.BlockSpec(memory_space=pl.ANY),          # forcing in HBM
+        pl.BlockSpec((lpad, subl, LANE), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((NROWS, subl, LANE), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [off_arr, forcing, tmp0, scal0]
+    if have_cofs:
+        in_specs.append(pl.BlockSpec((4, subl, LANE), lambda i: (0, i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(cof_rows)
     result = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # global step offset
-            pl.BlockSpec(memory_space=pl.ANY),          # forcing in HBM
-            pl.BlockSpec((lpad, subl, LANE), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((NROWS, subl, LANE), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),          # outputs in HBM
             pl.BlockSpec((lpad, subl, LANE), lambda i: (0, i, 0),
@@ -602,7 +671,7 @@ def pallas_scan(tmp0, scal0, forcing, cfg: StepConfig, p: PhysicsParams,
             transcendentals=int(10 * P * nsteps),
         ),
         interpret=interpret,
-    )(off_arr, forcing, tmp0, scal0)
+    )(*args)
     out, tmp_f, scal_f = result
     return (tmp_f.reshape(lpad, P), scal_f.reshape(NROWS, P),
             out.reshape(n_out_total, N_OUT_FIELDS, P))

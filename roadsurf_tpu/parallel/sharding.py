@@ -74,7 +74,9 @@ def pallas_scan_sharded(tmp0, scal0, forcing, cfg, params, grid,
                         mesh: Mesh, out_stride: int = 1, chunk_t: int = 8,
                         tile_p: Optional[int] = None, bl_iters: int = 40,
                         interpret: bool = False, nsteps: Optional[int] = None,
-                        out_offset=None, n_out: Optional[int] = None):
+                        out_offset=None, n_out: Optional[int] = None,
+                        cof_rows=None, t_total: Optional[int] = None,
+                        cof_red: Optional[float] = None):
     """The fused Pallas forecast kernel over a points-sharded device mesh.
 
     This is the production multi-chip path: ``shard_map`` hands each device
@@ -115,20 +117,32 @@ def pallas_scan_sharded(tmp0, scal0, forcing, cfg, params, grid,
     else:
         assert n_out is not None, "out_offset requires an explicit n_out"
 
-    def local(tmp, scal, forc, off):
+    def local(tmp, scal, forc, off, *cofs):
         return pallas_scan(tmp, scal, forc, cfg, params, grid,
                            out_stride=out_stride, chunk_t=chunk_t,
                            tile_p=tile_p, bl_iters=bl_iters,
                            interpret=interpret, nsteps=nsteps,
-                           out_offset=off, n_out=n_out)
+                           out_offset=off, n_out=n_out,
+                           cof_rows=cofs[0] if cofs else None,
+                           t_total=t_total, cof_red=cof_red)
 
+    # tile-major fused-expansion forcing [n_tiles, T, NCH, subl, LANE] is
+    # sharded on its TILE dim (tiles subdivide each device's point block)
+    forc_spec = (P(POINTS, None, None, None, None) if forcing.ndim == 5
+                 else P(None, None, POINTS))
+    if forcing.ndim == 5 and forcing.shape[0] % ndev:
+        raise ValueError(
+            f"tile count ({forcing.shape[0]}) must divide the mesh ({ndev})")
+    in_specs = [P(None, POINTS), P(None, POINTS), forc_spec, P()]
+    args = [tmp0, scal0, forcing, jnp.asarray(out_offset, jnp.int32)]
+    if cof_rows is not None:
+        in_specs.append(P(None, POINTS))
+        args.append(cof_rows)
     shard = jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(P(None, POINTS), P(None, POINTS), P(None, None, POINTS),
-                  P()),
+        local, mesh=mesh, in_specs=tuple(in_specs),
         out_specs=(P(None, POINTS), P(None, POINTS), P(None, None, POINTS)),
         check_vma=False)  # pallas_call out_shapes carry no vma annotation
-    return shard(tmp0, scal0, forcing, jnp.asarray(out_offset, jnp.int32))
+    return shard(*args)
 
 
 def failure_stats(failed, mesh: Optional[Mesh] = None):

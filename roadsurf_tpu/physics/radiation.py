@@ -22,13 +22,15 @@ def net_radiation(tsurf, albedo, sw, lw, sw_cof, lw_cof, p: PhysicsParams):
 
 
 def modify_radiation(sw, sw_dir, lw, lw_net, elev, azim, sky_view,
-                     horizons, p: PhysicsParams):
+                     horizons, p: PhysicsParams, flat_horizons: bool = False):
     """Sky-view/horizon correction of the radiation forcing
     (src/ModRadiation.f90:7-73).
 
     sw/sw_dir/lw/lw_net/elev/azim: [..., T] (elev/azim from
     sun.elevation_azimuth); sky_view broadcastable against them;
-    horizons: [..., 360] local horizon angles (degrees per azimuth degree).
+    horizons: [..., 360] local horizon angles (degrees per azimuth degree);
+    flat_horizons: statically-known all-zero horizons (sky-view factor
+    only, the common operational case) skip the lookup entirely.
 
     Returns (sw_mod, lw_mod).  The caller applies this only where
     0 <= sky_view < 1, matching the driver guard
@@ -40,13 +42,22 @@ def modify_radiation(sw, sw_dir, lw, lw_net, elev, azim, sky_view,
     # nearest-degree horizon lookup (ModRadiation.f90:40-45); the reference
     # reads out-of-bounds when the sun is below the horizon (azimuth sentinel
     # -9999.9) but the result is unused then -- we clamp the index instead.
-    azim_idx = jnp.clip(jnp.round(azim).astype(jnp.int32) % 360, 0, 359)
-    if horizons.ndim > 1:
-        horizon = jnp.take_along_axis(
-            jnp.broadcast_to(horizons, azim_idx.shape[:-1] + (360,)),
-            azim_idx, axis=-1)
+    if flat_horizons:
+        horizon = jnp.zeros_like(elev)
     else:
-        horizon = horizons[azim_idx]
+        azim_idx = jnp.clip(jnp.round(azim).astype(jnp.int32) % 360, 0, 359)
+        if horizons.ndim > 1:
+            # per-point tables: a take_along_axis over the minor 360-axis
+            # serializes on the TPU scalar core (measured ~2 s per
+            # 64-step x 1M chunk); a 360-way select sweep stays on the VPU
+            # (~20 ms) and picks the identical value (exactly one degree
+            # matches per element)
+            horizon = jnp.zeros_like(elev)
+            for d in range(360):
+                horizon = jnp.where(azim_idx == d, horizons[..., d:d + 1],
+                                    horizon)
+        else:
+            horizon = horizons[azim_idx]
 
     shadow = jnp.where(horizon > elev, 0.0, 1.0)
     sun_up = elev > 0.0

@@ -639,16 +639,31 @@ def run_production_config(config, settings, cal, sim_epochs, now, start, *,
                & (np.asarray(pts.coupling_tsurf) > -100.0)))
     run_fn = (production.run_production_coupled if use_coupled
               else production.run_production)
+    # multi-process: each host drains and writes ONLY its own shard (no
+    # cross-host allgather on the output path; merge with
+    # io.writer.merge_shards)
+    nprocs = jax.process_count()
+    drain = "shard" if nprocs > 1 else "gather"
     res = run_fn(
         model, expander, pts, cal, state0, anchors=anchors, mesh=mesh,
         chunk_t=chunk_t, out_stride=out_stride, interpret=interpret,
-        metrics=metrics, progress=progress)
+        metrics=metrics, progress=progress, drain=drain)
+    lo_r, hi_r = res.point_range
 
     failed = np.asarray(res.state.failed)
     missing_limit = float(config.get("missing_limit", 100.0)) / 100.0
-    fail_ratio = float(failed.mean())
-    if fail_ratio > 0 and verbose:
-        failure_summary(failed, lats, lons)
+    # shard mode: the ratio is reduced globally over the failure budget's
+    # psum path semantics (each host contributes its local count)
+    if drain == "shard":
+        from jax.experimental import multihost_utils
+        tot = multihost_utils.process_allgather(
+            np.asarray([failed.sum(), failed.size], np.int64))
+        tot = np.asarray(tot).reshape(-1, 2).sum(axis=0)
+        fail_ratio = float(tot[0]) / max(int(tot[1]), 1)
+    else:
+        fail_ratio = float(failed.mean())
+    if failed.any() and verbose:
+        failure_summary(failed, lats[lo_r:hi_r], lons[lo_r:hi_r])
     if fail_ratio > missing_limit:
         raise SystemExit(
             f"Failed-point ratio {fail_ratio:.1%} exceeds missing_limit "
@@ -659,7 +674,19 @@ def run_production_config(config, settings, cal, sim_epochs, now, start, *,
     epochs_out = sim_epochs[res.out_steps]
     fields = res.fields
     with metrics.phase("write"):
-        if out_path and out_path.endswith(".npz") and pset.mode == "grid":
+        if drain == "shard":
+            if out_path:
+                from .io.writer import write_shard_npz
+                spath = f"{out_path}.shard{jax.process_index():05d}.npz"
+                write_shard_npz(spath, res.point_range, res.out_steps,
+                                fields, epochs=epochs_out)
+                if verbose:
+                    print(f"Wrote shard [{lo_r}, {hi_r}) -> {spath} "
+                          f"(merge with io.writer.merge_shards)")
+            if checkpoint_out:
+                _save_ck(f"{checkpoint_out}.shard{jax.process_index():05d}",
+                         res.state, point_ids[lo_r:hi_r], sim_epochs[-1])
+        elif out_path and out_path.endswith(".npz") and pset.mode == "grid":
             from .io.writer import write_forecast_grid
             from .physics.moisture import tdew_from_rh
             # tair/tdew per point at the output steps only
@@ -681,7 +708,7 @@ def run_production_config(config, settings, cal, sim_epochs, now, start, *,
                                 output_stride=1)
             if verbose:
                 print(f"Wrote {out_path}")
-        if checkpoint_out:
+        if checkpoint_out and drain != "shard":
             _save_ck(checkpoint_out, res.state, point_ids, sim_epochs[-1])
             if verbose:
                 print(f"Wrote checkpoint {checkpoint_out}")

@@ -111,6 +111,38 @@ def main():
     np.testing.assert_allclose(res_f.fields["tsurf"], res.fields["tsurf"],
                                rtol=2e-6, atol=2e-6)
 
+    # --- per-shard multi-host output drain (NO cross-host allgather on
+    # the output path): each process pulls only its addressable columns,
+    # writes its shard with a range manifest, process 0 merges and checks
+    # against the allgathered reference (QueryDataTools.cpp:299-345
+    # disjoint-row assembly, re-designed for multi-host)
+    import pathlib
+
+    from jax.experimental import multihost_utils
+
+    from roadsurf_tpu.io.writer import merge_shards, write_shard_npz
+
+    res_s = production.run_production(model, exp_f, pts2, cal2, state0,
+                                      mesh=mesh, chunk_t=16, out_stride=8,
+                                      interpret=True, drain="shard")
+    lo_s, hi_s = res_s.point_range
+    assert hi_s - lo_s == P2 // nproc, (res_s.point_range, P2, nproc)
+    np.testing.assert_array_equal(res_s.fields["tsurf"],
+                                  res_f.fields["tsurf"][:, lo_s:hi_s])
+    np.testing.assert_array_equal(np.asarray(res_s.state.tsurf_ave),
+                                  np.asarray(res_f.state.tsurf_ave)
+                                  [lo_s:hi_s])
+    shard_dir = pathlib.Path(os.environ["MP_SHARD_DIR"])
+    write_shard_npz(shard_dir / f"shard_{pid}.npz", res_s.point_range,
+                    res_s.out_steps, res_s.fields)
+    multihost_utils.sync_global_devices("shards_written")
+    if pid == 0:
+        steps, fields = merge_shards(sorted(shard_dir.glob("shard_*.npz")))
+        np.testing.assert_array_equal(steps, res_f.out_steps)
+        for n in ("tsurf", "wat", "snow"):
+            np.testing.assert_array_equal(fields[n], res_f.fields[n],
+                                          err_msg=n)
+
     print(f"MP_OK {pid} checked={checked} prod={res.fields['tsurf'].shape}")
 
 

@@ -45,6 +45,9 @@ def test_multiprocess_scan_parity():
     env["PYTHONPATH"] = (env.get("PYTHONPATH", "") + os.pathsep + repo
                          ).lstrip(os.pathsep)
     nproc = 2
+    import tempfile
+    shard_dir = tempfile.mkdtemp(prefix="rs_shards_")
+    env["MP_SHARD_DIR"] = shard_dir
     procs = [subprocess.Popen(
         [sys.executable, worker, str(port), str(nproc), str(i)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)

@@ -111,6 +111,30 @@ def test_coupled_window_offset_sweep(T, chunk_t, ws, we, out_stride):
                           np.asarray(final_pc.failed))
 
 
+def test_skyview_flat_horizons_matches_scan():
+    """Sky-view factor active with all-zero (flat) horizons: the production
+    engine's static flat-horizons path (skips the per-(point, step) horizon
+    lookup, production._Engine.flat_horizons) must match the scan engine,
+    which runs the generic lookup on the same zeros."""
+    T = 49
+    settings, model, raw_st, raw_pt, cal, pts, st_idx = _setup(T)
+    P = len(st_idx)
+    sky = np.full(P, 1.0)
+    sky[::2] = 0.65
+    pts = pts._replace(sky_view=sky, horizons=np.zeros((P, 360)))
+    final_ref, out_ref = model.run(raw_pt, pts, cal)
+    mesh = make_mesh()
+    exp = _expander(raw_st, st_idx, mesh, chunk_t=16)
+    state0 = model.init(raw_pt, cal, dtype=jnp.float32)
+    res = production.run_production(
+        model, exp, pts, cal, state0, mesh=mesh, chunk_t=16,
+        out_stride=8, inner_chunk_t=8, interpret=True)
+    want_steps = np.arange(0, T, 8)
+    np.testing.assert_allclose(
+        res.fields["tsurf"], np.asarray(out_ref.tsurf)[want_steps],
+        rtol=2e-5, atol=2e-4)
+
+
 def test_validation_counts_screen():
     """production.validation_counts: per-variable post-merge CheckValues
     screen (the grid-overlay replacement for the up-front station skip

@@ -14,7 +14,8 @@ device for every later stage in the process (measured: after a
 ResourceExhausted, every subsequent allocation fails instantly).
 
 Usage: python tools/bench_all_tpu.py [stage ...]
-  stages (default order): coupled chunk_fast chunk chunk_grid inner full
+  stages (default order): coupled chunk_fast chunk_gather chunk chunk_skyview
+  chunk_grid inner full
 """
 import gc
 import sys
@@ -22,7 +23,8 @@ import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-STAGES = ("coupled", "chunk_fast", "chunk", "chunk_grid", "inner", "full")
+STAGES = ("coupled", "chunk_fast", "chunk_gather", "chunk", "chunk_skyview",
+          "chunk_grid", "inner", "full")
 
 
 def _stage(name, fn):
@@ -46,8 +48,15 @@ def main(argv=None):
             from tools.bench_chunk import main as m
             _stage(name, lambda: m([]))
         elif name == "chunk_fast":
+            # --fast defaults to the fused tile-major MXU expansion
             from tools.bench_chunk import main as m
             _stage(name, lambda: m(["--fast"]))
+        elif name == "chunk_gather":
+            from tools.bench_chunk import main as m
+            _stage(name, lambda: m(["--fast", "--no-fused"]))
+        elif name == "chunk_skyview":
+            from tools.bench_chunk import main as m
+            _stage(name, lambda: m(["--skyview"]))
         elif name == "chunk_grid":
             from tools.bench_chunk import main as m
             _stage(name, lambda: m(["--grid"]))

@@ -32,7 +32,15 @@ def main(argv=None):
     ap.add_argument("--grid", action="store_true",
                     help="bench the GridExpander path instead of stations")
     ap.add_argument("--fast", action="store_true",
-                    help="station-level prepared channels (prep_ctx path)")
+                    help="station-level prepared channels (prep_ctx path; "
+                         "fused MXU expansion unless --no-fused)")
+    ap.add_argument("--no-fused", action="store_true",
+                    help="with --fast: force the row-gather expansion "
+                         "instead of the fused tile-major MXU path")
+    ap.add_argument("--skyview", action="store_true",
+                    help="per-point sky-view radiation correction active "
+                         "(svf=0.7, flat horizons): the generic-prep "
+                         "fallback path incl. per-chunk sun position")
     ap.add_argument("--sorted", action="store_true",
                     help="station-sorted point order (monotone gather "
                          "experiment; throughput-only, no output remap)")
@@ -102,10 +110,14 @@ def main(argv=None):
                         "hour": cal.hour, "t_total": T}
         expander = production.StationExpander(raw_st, st_idx_pad, mesh,
                                               chunk_t=chunk_t,
-                                              prep_ctx=prep_ctx)
+                                              prep_ctx=prep_ctx,
+                                              fused=not args.no_fused)
 
     pts = default_point_params(P0)._replace(
         lat=58.0 + rng.uniform(0, 6, P0), lon=20.0 + rng.uniform(0, 10, P0))
+    if args.skyview:
+        pts = pts._replace(sky_view=np.full(P0, 0.7),
+                           horizons=np.zeros((P0, 360)))
     first = {n: np.asarray(expander.first_host[n][:P0], np.float64)
              for n in ("tair", "vz", "rhz", "tsurf_obs")}
     date0 = (int(cal.year[0]), int(cal.month[0]), int(cal.day[0]))
@@ -128,15 +140,21 @@ def main(argv=None):
 
     @jax.jit
     def prep_full_fn(t0, data):
+        if eng.fused:
+            return expander.fused_window(data["exp"], t0, chunk_t)
         if eng.fast:
             ones = jnp.ones((chunk_t, expander.num_points), jnp.float32)
             return expander.packed_window(data["exp"], t0, chunk_t,
                                           ones, ones, data["obs"])
         rawT = expander.window(data["exp"], t0, chunk_t)
         hr = jax.lax.dynamic_slice_in_dim(data["hour"], t0, chunk_t)
+        jd = (jax.lax.dynamic_slice_in_dim(data["jde"], t0, chunk_t)
+              if eng.enable_sky else None)
         prep = prepare_window(rawT, data["pts"], hr, settings, eng.params,
                               t_offset=t0, t_total=eng.T, anchors=None,
-                              jde=None, enable_skyview=False)
+                              jde=jd, enable_skyview=eng.enable_sky,
+                              flat_horizons=getattr(eng, "flat_horizons",
+                                                    False))
         ones = jnp.ones(prep.tair.shape, jnp.float32)
         return ps.pack_forcing(prep, ones, ones, data["obs"])
 
@@ -217,6 +235,8 @@ def main(argv=None):
 
     print(json.dumps({
         "mode": "grid" if args.grid else "stations",
+        "fast": bool(eng.fast), "fused": bool(getattr(eng, "fused", False)),
+        "skyview": bool(args.skyview),
         "points": P0, "chunk_t": chunk_t,
         "full_ms": round(t_full * 1e3, 1),
         "kernel_ms": round(t_kern * 1e3, 1),

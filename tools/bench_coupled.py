@@ -40,6 +40,10 @@ def main(argv=None):
                     default="both")
     ap.add_argument("--chunk-t", type=int, default=0,
                     help="0 = auto-size for the point count")
+    ap.add_argument("--fast", action="store_true",
+                    help="station-level prepared channels + fused MXU "
+                         "expansion (phases A/C fused incl. the in-kernel "
+                         "cof decay)")
     ap.add_argument("--repeat", type=int, default=2)
     args = ap.parse_args(argv)
 
@@ -71,11 +75,11 @@ def main(argv=None):
     p_pad = production.padded_points(P, mesh)
     chunk_t = args.chunk_t or production.auto_chunk_t(p_pad)
     st_idx_pad = np.pad(st_idx, (0, p_pad - P), constant_values=-1)
-    expander = production.StationExpander(raw_st, st_idx_pad, mesh,
-                                          chunk_t=chunk_t)
 
     # per-point params; obs target near the station tair at the window end
-    tair_end = np.asarray(raw_st.tair)[st_idx, end_i - 1]
+    # (station-derived, so the --fast prepared-channel contract holds)
+    tair_end_st = np.asarray(raw_st.tair)[:, end_i - 1]
+    tair_end = tair_end_st[st_idx]
     base_pts = default_point_params(P)
 
     def pts_for(offset):
@@ -84,6 +88,26 @@ def main(argv=None):
             coupling_start=np.full(P, start_i, np.int32),
             coupling_end=np.full(P, end_i, np.int32),
             coupling_tsurf=(tair_end + offset).astype(np.float64))
+
+    def expander_for(offset):
+        """--fast bakes the (scenario-specific) station obs + coupling
+        window into the prepared channels, so each scenario rebuilds."""
+        if not args.fast:
+            return production.StationExpander(raw_st, st_idx_pad, mesh,
+                                              chunk_t=chunk_t)
+        st_pts1 = default_point_params(S + 1)._replace(
+            coupling_start=np.concatenate(
+                [np.full(S, start_i, np.int32), [-99]]).astype(np.int32),
+            coupling_end=np.concatenate(
+                [np.full(S, end_i, np.int32), [-99]]).astype(np.int32),
+            coupling_tsurf=np.concatenate(
+                [tair_end_st + offset, [-9999.9]])
+            if offset is not None else
+            np.concatenate([np.full(S, -9999.9), [-9999.9]]))
+        ctx = {"st_pts": st_pts1, "anchors": None, "settings": settings,
+               "params": model.params, "hour": cal.hour, "t_total": T}
+        return production.StationExpander(raw_st, st_idx_pad, mesh,
+                                          chunk_t=chunk_t, prep_ctx=ctx)
 
     def first(name):
         v = np.asarray(getattr(raw_st, name))[st_idx, 0]
@@ -97,7 +121,8 @@ def main(argv=None):
         use_depth=model.cfg.use_depth, dtype=jnp.float32))(
             first("tair"), first("vz"), first("rhz"), first("tsurf_obs"))
 
-    def run(fn, pts, label):
+    def run(fn, pts, label, offset=None):
+        expander = expander_for(offset)
         best = None
         reruns = 0
         for r in range(args.repeat):
@@ -113,16 +138,17 @@ def main(argv=None):
 
     # uncoupled baseline at the same shape
     unc_rate, _ = run(production.run_production, pts_for(0.0)._replace(
-        coupling_tsurf=np.full(P, -9999.9)), "uncoupled")
+        coupling_tsurf=np.full(P, -9999.9)), "uncoupled", offset=None)
 
     scenarios = {"typical": -1.5, "hard": 8.0, "worst": -30.0}
     if args.scenario != "both":
         scenarios = {args.scenario: scenarios[args.scenario]}
     for name, offset in scenarios.items():
         rate, reruns = run(production.run_production_coupled,
-                           pts_for(offset), name)
+                           pts_for(offset), name, offset=offset)
         print(json.dumps({
-            "scenario": name, "points": P, "steps": T,
+            "scenario": name, "fast": bool(args.fast),
+            "points": P, "steps": T,
             "window_steps": end_i - start_i + 1, "reruns": int(reruns),
             "point_steps_per_s": round(rate, 1),
             "wall_s": round(P * T / rate, 3),
