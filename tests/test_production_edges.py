@@ -135,6 +135,51 @@ def test_skyview_flat_horizons_matches_scan():
         rtol=2e-5, atol=2e-4)
 
 
+def test_shard_npz_roundtrip(tmp_path):
+    """write_shard_npz/merge_shards: range-manifest shard files reassemble
+    exactly and reject non-tiling ranges (the multi-host output path,
+    QueryDataTools.cpp:299-345 disjoint-row assembly re-designed)."""
+    from roadsurf_tpu.io.writer import merge_shards, write_shard_npz
+    rng = np.random.default_rng(0)
+    steps = np.arange(0, 40, 8)
+    fields = {n: rng.normal(size=(len(steps), 96)).astype(np.float32)
+              for n in ("tsurf", "wat", "snow")}
+    for i, (lo, hi) in enumerate([(0, 40), (40, 96)]):
+        write_shard_npz(tmp_path / f"s{i}.npz", (lo, hi), steps,
+                        {n: v[:, lo:hi] for n, v in fields.items()})
+    msteps, mfields = merge_shards(sorted(tmp_path.glob("s*.npz")))
+    np.testing.assert_array_equal(msteps, steps)
+    for n, v in fields.items():
+        np.testing.assert_array_equal(mfields[n], v, err_msg=n)
+    # a gap in the ranges must be rejected
+    write_shard_npz(tmp_path / "bad.npz", (48, 96), steps,
+                    {n: v[:, 48:] for n, v in fields.items()})
+    with pytest.raises(ValueError, match="tile"):
+        merge_shards([tmp_path / "s0.npz", tmp_path / "bad.npz"])
+
+
+def test_shard_drain_single_process_matches_gather():
+    """drain='shard' on a fully-addressable (single-process) run returns the
+    full range and identical fields to drain='gather' -- incl. through the
+    fused permutation's local inverse."""
+    settings, model, raw_st, raw_pt, cal, pts, st_idx = _setup(41)
+    mesh = make_mesh()
+    exp = _expander(raw_st, st_idx, mesh, chunk_t=16)
+    state0 = model.init(raw_pt, cal, dtype=jnp.float32)
+    a = production.run_production(model, exp, pts, cal, state0, mesh=mesh,
+                                  chunk_t=16, out_stride=8,
+                                  inner_chunk_t=8, interpret=True)
+    b = production.run_production(model, exp, pts, cal, state0, mesh=mesh,
+                                  chunk_t=16, out_stride=8,
+                                  inner_chunk_t=8, interpret=True,
+                                  drain="shard")
+    assert b.point_range == (0, len(st_idx))
+    for n in a.fields:
+        np.testing.assert_array_equal(a.fields[n], b.fields[n], err_msg=n)
+    np.testing.assert_array_equal(np.asarray(a.state.tmp),
+                                  np.asarray(b.state.tmp))
+
+
 def test_validation_counts_screen():
     """production.validation_counts: per-variable post-merge CheckValues
     screen (the grid-overlay replacement for the up-front station skip

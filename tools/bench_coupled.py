@@ -44,6 +44,13 @@ def main(argv=None):
                     help="station-level prepared channels + fused MXU "
                          "expansion (phases A/C fused incl. the in-kernel "
                          "cof decay)")
+    ap.add_argument("--grid", action="store_true",
+                    help="grid NWP forecast + station obs composite (the "
+                         "reference's operational coupled mode: phase-B "
+                         "window passes re-expand through the "
+                         "CompositeExpander(GridExpander, StationExpander))")
+    ap.add_argument("--grid-ny", type=int, default=300)
+    ap.add_argument("--grid-nx", type=int, default=400)
     ap.add_argument("--repeat", type=int, default=2)
     args = ap.parse_args(argv)
 
@@ -89,9 +96,58 @@ def main(argv=None):
             coupling_end=np.full(P, end_i, np.int32),
             coupling_tsurf=(tair_end + offset).astype(np.float64))
 
+    # first-step per-point values for init_state, captured BEFORE --grid
+    # blanks the station channels down to obs-only
+    first_vals = {n: np.asarray(getattr(raw_st, n))[st_idx, 0]
+                  .astype(np.float32)
+                  for n in ("tair", "vz", "rhz", "tsurf_obs")}
+
+    grid_part = None
+    if args.grid:
+        # NWP forecast grid covering the points; the stations contribute
+        # ONLY tsurf_obs (the coupled operational stack,
+        # examples/example2/src/roadrunner.cpp:763-792)
+        t0e = 1575158400
+        sim_ep = t0e + (dt * np.arange(T)).astype(np.int64)
+        gtimes = t0e + 3600 * np.arange(1 + int(T * dt // 3600) + 1,
+                                        dtype=np.int64)
+        ny, nx = args.grid_ny, args.grid_nx
+        glats = np.linspace(59.6, 70.1, ny)
+        glons = np.linspace(20.5, 31.6, nx)
+        R = len(gtimes)
+        gfields = {n: rng.normal(0.0 if n in ("prec", "sw") else -3.0, 2.0,
+                                 (R, ny, nx))
+                   for n in ("tair", "tdew", "rhz", "vz", "prec", "sw",
+                             "lw")}
+        gfields["rhz"] = np.abs(gfields["rhz"]) + 60.0
+        gfields["vz"] = np.abs(gfields["vz"]) + 1.0
+        gfields["prec"] = np.abs(gfields["prec"])
+        gfields["sw"] = np.abs(gfields["sw"])
+        gfields["lw"] = 280.0 + gfields["lw"]
+        gfields["prec_phase"] = rng.integers(0, 4, (R, ny, nx)).astype(float)
+        plat = rng.uniform(59.6, 70.1, p_pad)
+        plon = rng.uniform(20.5, 31.6, p_pad)
+        t0b = time.perf_counter()
+        grid_part = production.GridExpander(gtimes, glats, glons, gfields,
+                                            plat, plon, sim_ep, mesh,
+                                            chunk_t=chunk_t)
+        print(f"GridExpander build: {time.perf_counter()-t0b:.1f}s",
+              file=sys.stderr)
+        # station part carries obs only
+        miss = np.full_like(np.asarray(raw_st.tair), -9999.9)
+        obs_only = raw_st._replace(**{
+            n: (np.full_like(np.asarray(raw_st.prec_phase), -9999)
+                if n == "prec_phase" else miss)
+            for n in raw_st._fields if n != "tsurf_obs"})
+        raw_st = obs_only
+
     def expander_for(offset):
         """--fast bakes the (scenario-specific) station obs + coupling
         window into the prepared channels, so each scenario rebuilds."""
+        if args.grid:
+            st_part = production.StationExpander(raw_st, st_idx_pad, mesh,
+                                                 chunk_t=chunk_t)
+            return production.CompositeExpander([grid_part, st_part])
         if not args.fast:
             return production.StationExpander(raw_st, st_idx_pad, mesh,
                                               chunk_t=chunk_t)
@@ -110,8 +166,7 @@ def main(argv=None):
                                           chunk_t=chunk_t, prep_ctx=ctx)
 
     def first(name):
-        v = np.asarray(getattr(raw_st, name))[st_idx, 0]
-        return v.astype(np.float32)
+        return first_vals[name]
 
     from roadsurf_tpu.state import init_state
     date0 = (int(cal.year[0]), int(cal.month[0]), int(cal.day[0]))
@@ -148,6 +203,7 @@ def main(argv=None):
                            pts_for(offset), name, offset=offset)
         print(json.dumps({
             "scenario": name, "fast": bool(args.fast),
+            "grid": bool(args.grid),
             "points": P, "steps": T,
             "window_steps": end_i - start_i + 1, "reruns": int(reruns),
             "point_steps_per_s": round(rate, 1),
