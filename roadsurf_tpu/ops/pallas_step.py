@@ -16,16 +16,24 @@ iteration).  This kernel instead runs the whole time loop on-chip:
 
 Layouts are lane-major over points: per-point scalar state is row-packed into
 one [NROWS, TILE_P] array (rows indexed by the R_* constants); the
-temperature profile is [LPAD, TILE_P]; forcing is [T, NCH, P] in HBM.
+temperature profile is [LPAD, TILE_P].  Forcing comes in three HBM layouts:
+point-major [T, NCH, P] (the generic/gather paths), tile-major
+[n_tiles, T, NCH, subl, LANE] (the fused MXU expansion -- each tile's chunk
+DMA is fully contiguous), and SLIM tile-major [n_tiles, T, NCH_SLIM, ...]
+where only the genuinely (station, step)-varying channels ride HBM (TRF via
+SMEM, radiation cofs computed in kernel from aux rows, coupling obs as an
+aux row).
 
 The physics replicates the same branch-free re-derivation as
 roadsurf_tpu.physics / step.py (reference citations there); the
 boundary-layer fixed point uses masked-freeze iterations, mathematically
 identical to the scan path's early-exit while_loop.  Parity vs the scan path
-is tested in tests/test_pallas_step.py.
+is tested in tests/test_pallas_step.py; the fused/slim layouts are bitwise
+vs the gather path in tests/test_production_fused.py.
 
-Coupled (rewinding) runs stay on the scan/while engine; this kernel covers
-the uncoupled hot path (the production nationwide-forecast workload).
+The coupled production driver streams phases A/C through this kernel (the
+in-window phase B runs the iteration-major engine in coupling.py); the
+post-coupling radiation-coefficient decay runs in kernel under have_cofs.
 """
 from __future__ import annotations
 
@@ -57,6 +65,17 @@ C_TSURF_OBS, C_VALID, C_TRF, C_SWCOF, C_LWCOF, C_INCPL, C_CPLOBS = \
     7, 8, 9, 10, 11, 12, 13
 C_AIRVCAP = 14
 NCH = 16
+
+# SLIM forcing layout (the fused tile-major path): only the channels that
+# genuinely vary per (station, step) ride the [n_tiles, T, nch, subl, LANE]
+# HBM tensor -- TRF is time-only (SMEM side channel), SWCOF/LWCOF are 1
+# outside coupling (computed in kernel from aux rows when coupled), CPLOBS
+# is a per-point constant (aux row 3).  Cuts the dominant forcing HBM
+# traffic and the expansion-matmul M by 5/16.
+SLIM_CHANNELS = (C_TAIR, C_VZ, C_EAIR, C_RAIN, C_SNOW, C_SW, C_LW,
+                 C_TSURF_OBS, C_VALID, C_INCPL, C_AIRVCAP)
+NCH_SLIM = len(SLIM_CHANNELS)
+_SLIM_POS = {c: i for i, c in enumerate(SLIM_CHANNELS)}
 
 N_OUT_FIELDS = 8  # tsurf, wat, snow, ice, ice2, dep, (2 pad)
 
@@ -333,20 +352,30 @@ def _road_cond(wat, snow, ice, ice2, dep, tsurf, evap, q2, t4, vcold,
 
 def _make_kernel(nsteps, chunk_t, out_stride, cfg, p, dyc, cond_dz, wcont,
                  bl_iters, tile_p, lpad, tile_major=False,
-                 have_cofs=False, t_total=None, cof_red=None):
+                 have_cofs=False, t_total=None, cof_red=None, slim=False):
     subl = tile_p // LANE
     nlayers = len(dyc)
     nchunks = -(-nsteps // chunk_t)
     dt = cfg.dt
+    assert not (slim and not tile_major)
 
-    def kernel(off_smem, forc_hbm, tmp_init, scal_init, *rest):
-        if have_cofs:
+    def kernel(off_smem, *rest):
+        if slim:
+            # aux_in [4, subl, LANE]: sw_corr, lw_corr, coupling_end,
+            # coupling obs; trf_smem [T_pad] time-only traffic friction
+            (trf_smem, forc_hbm, tmp_init, scal_init, aux_in, out_hbm,
+             tmp_out, scal_out, fbuf, obuf, in_sems, out_sem) = rest
+            cof_in = aux_in
+        elif have_cofs:
             # cof_rows [4, subl, LANE]: sw_corr, lw_corr, coupling_end, pad
-            (cof_in, out_hbm, tmp_out, scal_out, fbuf, obuf, in_sems,
-             out_sem) = rest
+            (forc_hbm, tmp_init, scal_init, cof_in, out_hbm, tmp_out,
+             scal_out, fbuf, obuf, in_sems, out_sem) = rest
         else:
-            (out_hbm, tmp_out, scal_out, fbuf, obuf, in_sems,
-             out_sem) = rest
+            (forc_hbm, tmp_init, scal_init, out_hbm, tmp_out, scal_out,
+             fbuf, obuf, in_sems, out_sem) = rest
+
+        def fc(fbank, c):
+            return fbank[_SLIM_POS[c]] if slim else fbank[c]
         tile = pl.program_id(0)
         p0 = tile * subl
         # global step offset of this call (the production engine streams the
@@ -392,15 +421,15 @@ def _make_kernel(nsteps, chunk_t, out_stride, cfg, p, dyc, cond_dz, wcont,
                 tmp = tmp_out[...]
                 sc = scal_out[...]
 
-                tair = f[C_TAIR]
+                tair = fc(f, C_TAIR)
                 failed_prev = sc[R_FAILED] > 0.5
                 tsurf = sc[R_TSURF]
                 abnormal = (tsurf < -100.0) | (tsurf > 100.0)
-                failed = failed_prev | (f[C_VALID] < 0.5) | abnormal
+                failed = failed_prev | (fc(f, C_VALID) < 0.5) | abnormal
                 active = (~failed_prev) & run
 
                 # SetCurrentValues + obs forcing
-                obs = f[C_TSURF_OBS]
+                obs = fc(f, C_TSURF_OBS)
                 force_obs = obs > -100.0
                 tmp = jnp.stack(
                     [tair, jnp.where(force_obs, obs, tmp[1]),
@@ -409,13 +438,13 @@ def _make_kernel(nsteps, chunk_t, out_stride, cfg, p, dyc, cond_dz, wcont,
                 tsurf = jnp.where(force_obs, _surf_ave(tmp, cfg), tsurf)
 
                 # precipitation to storage
-                wat = sc[R_WAT] + f[C_RAIN]
-                snow = sc[R_SNOW] + f[C_SNOW]
+                wat = sc[R_WAT] + fc(f, C_RAIN)
+                snow = sc[R_SNOW] + fc(f, C_SNOW)
                 ice, ice2, dep = sc[R_ICE], sc[R_ICE2], sc[R_DEP]
 
                 # boundary layer + latent heat
-                vz = f[C_VZ]
-                air_vcap = f[C_AIRVCAP]
+                vz = fc(f, C_VZ)
+                air_vcap = fc(f, C_AIRVCAP)
                 bl, psim, psih, inv_kvz = _bl_fixed_point(
                     sc[R_BLCOND], tsurf, tair, vz, air_vcap, p, bl_iters)
                 raero = jnp.minimum(
@@ -426,7 +455,7 @@ def _make_kernel(nsteps, chunk_t, out_stride, cfg, p, dyc, cond_dz, wcont,
                 wat_den = (-0.0050 * tsurf * tsurf + 0.0079 * tsurf
                            + 1000.0028)
                 esurf = _esat(tsurf)
-                eair = f[C_EAIR]
+                eair = fc(f, C_EAIR)
                 le = air_vcap * (esurf - eair) / (psych_c * raero)
                 lheat = jnp.where(tsurf >= 0.0, p.lvap, p.lfus)
                 evap = le / (lheat * wat_den) * 1000.0 * dt
@@ -439,7 +468,14 @@ def _make_kernel(nsteps, chunk_t, out_stride, cfg, p, dyc, cond_dz, wcont,
                 # per-point correction/window rows (forcing.cof_window
                 # semantics, src/Coupling.f90:82-88 + the lastValues reuse)
                 # so the fused tile-major forcing needs no per-point channel
-                sw_cof, lw_cof = f[C_SWCOF], f[C_LWCOF]
+                if slim:
+                    # SWCOF/LWCOF do not ride the slim forcing: they are 1
+                    # outside coupling (and multiplying by the exact 1.0
+                    # reproduces the full-channel path bit for bit)
+                    sw_cof = jnp.float32(1.0)
+                    lw_cof = jnp.float32(1.0)
+                else:
+                    sw_cof, lw_cof = f[C_SWCOF], f[C_LWCOF]
                 if have_cofs:
                     i = tg + np.int32(1)
                     last_q = (tg == np.int32(t_total - 1)) if t_total >= 2 \
@@ -461,20 +497,22 @@ def _make_kernel(nsteps, chunk_t, out_stride, cfg, p, dyc, cond_dz, wcont,
                         jnp.float32(1.0))
                 tk = tsurf + 273.15
                 tk2 = tk * tk
-                rnet = ((1.0 - sc[R_ALBEDO]) * f[C_SW] * sw_cof
-                        + p.emiss * f[C_LW] * lw_cof
+                rnet = ((1.0 - sc[R_ALBEDO]) * fc(f, C_SW) * sw_cof
+                        + p.emiss * fc(f, C_LW) * lw_cof
                         - p.emiss * p.sb_const * tk2 * tk2)
 
                 # stencil
+                trf = (trf_smem[tg] if slim else f[C_TRF])
                 new_tmp, hs1, hstor = _stencil(
-                    tmp, bl, rnet, le, f[C_TRF], dt, p, dyc, cond_dz,
+                    tmp, bl, rnet, le, trf, dt, p, dyc, cond_dz,
                     wcont, nlayers)
 
                 # melting limiter
                 q2, t4 = sc[R_Q2MELT], sc[R_T4MELT]
-                in_cpl = f[C_INCPL] > 0.5
+                in_cpl = fc(f, C_INCPL) > 0.5
+                cplobs = aux_in[3] if slim else f[C_CPLOBS]
                 new_tmp, q2 = _melting(new_tmp, tsurf, snow, ice, ice2, q2,
-                                       t4, hstor, hs1, in_cpl, f[C_CPLOBS],
+                                       t4, hstor, hs1, in_cpl, cplobs,
                                        cfg, p)
                 tsurf_new = _surf_ave(new_tmp, cfg)
 
@@ -547,7 +585,8 @@ def pallas_scan(tmp0, scal0, forcing, cfg: StepConfig, p: PhysicsParams,
                 tile_p: int = None, bl_iters: int = 40,
                 interpret: bool = False, nsteps: int = None,
                 out_offset=None, n_out: int = None,
-                cof_rows=None, t_total: int = None, cof_red: float = None):
+                cof_rows=None, t_total: int = None, cof_red: float = None,
+                slim_trf=None, aux_rows=None, aux_cofs: bool = False):
     """Run the fused forecast scan.
 
     tmp0: [LPAD, P] float32 initial profile (row 0 air, rows 1..L ground,
@@ -581,13 +620,18 @@ def pallas_scan(tmp0, scal0, forcing, cfg: StepConfig, p: PhysicsParams,
     """
     lpad, P = tmp0.shape
     tile_major = forcing.ndim == 5
+    slim = aux_rows is not None
+    if slim:
+        assert slim_trf is not None and tile_major
     T = forcing.shape[1] if tile_major else forcing.shape[0]
     if tile_major:
         n_tiles_f, _, nch_f, subl_f, lane_f = forcing.shape
-        assert nch_f == NCH and lane_f == LANE, forcing.shape
+        assert nch_f == (NCH_SLIM if slim else NCH), forcing.shape
+        assert lane_f == LANE, forcing.shape
         tile_p = subl_f * LANE
         assert n_tiles_f * tile_p == P, (forcing.shape, P)
     else:
+        nch_f = NCH
         tile_p = tile_p or min(TILE_P, P)
     assert tile_p % LANE == 0, tile_p
     assert P % tile_p == 0, (P, tile_p)
@@ -609,10 +653,14 @@ def pallas_scan(tmp0, scal0, forcing, cfg: StepConfig, p: PhysicsParams,
     if not tile_major:
         forcing = forcing.reshape(T, NCH, rows, LANE)
 
-    have_cofs = cof_rows is not None
+    have_cofs = (cof_rows is not None) or (slim and aux_cofs)
     if have_cofs:
         assert t_total is not None and cof_red is not None
+    if cof_rows is not None:
         cof_rows = jnp.asarray(cof_rows, jnp.float32).reshape(4, rows, LANE)
+    if slim:
+        aux_rows = jnp.asarray(aux_rows, jnp.float32).reshape(4, rows, LANE)
+        slim_trf = jnp.asarray(slim_trf, jnp.float32)
 
     kernel, nchunks = _make_kernel(
         nsteps, chunk_t, out_stride, cfg, p,
@@ -621,7 +669,7 @@ def pallas_scan(tmp0, scal0, forcing, cfg: StepConfig, p: PhysicsParams,
         tuple(np.asarray(grid.wcont, np.float32).tolist()),
         bl_iters, tile_p, lpad, tile_major=tile_major,
         have_cofs=have_cofs, t_total=t_total,
-        cof_red=float(cof_red) if have_cofs else None)
+        cof_red=float(cof_red) if have_cofs else None, slim=slim)
 
     n_tiles = P // tile_p
     out_shape = (
@@ -631,19 +679,23 @@ def pallas_scan(tmp0, scal0, forcing, cfg: StepConfig, p: PhysicsParams,
         jax.ShapeDtypeStruct((NROWS, rows, LANE), jnp.float32),
     )
     flops_per_point_step = 600.0
-    in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),      # global step offset
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]  # global step offset
+    args = [off_arr]
+    if slim:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # trf [T_pad]
+        args.append(slim_trf)
+    in_specs += [
         pl.BlockSpec(memory_space=pl.ANY),          # forcing in HBM
         pl.BlockSpec((lpad, subl, LANE), lambda i: (0, i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((NROWS, subl, LANE), lambda i: (0, i, 0),
                      memory_space=pltpu.VMEM),
     ]
-    args = [off_arr, forcing, tmp0, scal0]
-    if have_cofs:
+    args += [forcing, tmp0, scal0]
+    if slim or (have_cofs and cof_rows is not None):
         in_specs.append(pl.BlockSpec((4, subl, LANE), lambda i: (0, i, 0),
                                      memory_space=pltpu.VMEM))
-        args.append(cof_rows)
+        args.append(aux_rows if slim else cof_rows)
     result = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -657,7 +709,7 @@ def pallas_scan(tmp0, scal0, forcing, cfg: StepConfig, p: PhysicsParams,
         ),
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2, chunk_t, NCH, subl, LANE), jnp.float32),
+            pltpu.VMEM((2, chunk_t, nch_f, subl, LANE), jnp.float32),
             pltpu.VMEM((1, N_OUT_FIELDS, subl, LANE), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,

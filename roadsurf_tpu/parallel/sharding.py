@@ -76,7 +76,9 @@ def pallas_scan_sharded(tmp0, scal0, forcing, cfg, params, grid,
                         interpret: bool = False, nsteps: Optional[int] = None,
                         out_offset=None, n_out: Optional[int] = None,
                         cof_rows=None, t_total: Optional[int] = None,
-                        cof_red: Optional[float] = None):
+                        cof_red: Optional[float] = None,
+                        slim_trf=None, aux_rows=None,
+                        aux_cofs: bool = False):
     """The fused Pallas forecast kernel over a points-sharded device mesh.
 
     This is the production multi-chip path: ``shard_map`` hands each device
@@ -117,14 +119,21 @@ def pallas_scan_sharded(tmp0, scal0, forcing, cfg, params, grid,
     else:
         assert n_out is not None, "out_offset requires an explicit n_out"
 
-    def local(tmp, scal, forc, off, *cofs):
+    slim = aux_rows is not None
+
+    def local(tmp, scal, forc, off, *extra):
+        kw = {}
+        if slim:
+            kw["slim_trf"], kw["aux_rows"] = extra[0], extra[1]
+            kw["aux_cofs"] = aux_cofs
+        elif extra:
+            kw["cof_rows"] = extra[0]
         return pallas_scan(tmp, scal, forc, cfg, params, grid,
                            out_stride=out_stride, chunk_t=chunk_t,
                            tile_p=tile_p, bl_iters=bl_iters,
                            interpret=interpret, nsteps=nsteps,
                            out_offset=off, n_out=n_out,
-                           cof_rows=cofs[0] if cofs else None,
-                           t_total=t_total, cof_red=cof_red)
+                           t_total=t_total, cof_red=cof_red, **kw)
 
     # tile-major fused-expansion forcing [n_tiles, T, NCH, subl, LANE] is
     # sharded on its TILE dim (tiles subdivide each device's point block)
@@ -135,7 +144,10 @@ def pallas_scan_sharded(tmp0, scal0, forcing, cfg, params, grid,
             f"tile count ({forcing.shape[0]}) must divide the mesh ({ndev})")
     in_specs = [P(None, POINTS), P(None, POINTS), forc_spec, P()]
     args = [tmp0, scal0, forcing, jnp.asarray(out_offset, jnp.int32)]
-    if cof_rows is not None:
+    if slim:
+        in_specs += [P(), P(None, POINTS)]
+        args += [slim_trf, aux_rows]
+    elif cof_rows is not None:
         in_specs.append(P(None, POINTS))
         args.append(cof_rows)
     shard = jax.shard_map(

@@ -386,14 +386,15 @@ class StationExpander:
         fd = data["prep"]["fused"]
         smax, n_tiles, tile_p = plan["smax"], plan["n_tiles"], plan["tile_p"]
         W = jax.lax.dynamic_slice_in_dim(fd["stf"], t0, tc, axis=0)
-        A = jnp.take(W, fd["widx"], axis=2)           # [tc, NCH, b, SMAX]
-        A = jnp.transpose(A, (2, 0, 1, 3)).reshape(n_tiles, tc * ps.NCH,
-                                                   smax)
+        W = W[:, np.array(ps.SLIM_CHANNELS)]          # [tc, NCHS, S_pad]
+        A = jnp.take(W, fd["widx"], axis=2)           # [tc, NCHS, b, SMAX]
+        nchs = ps.NCH_SLIM
+        A = jnp.transpose(A, (2, 0, 1, 3)).reshape(n_tiles, tc * nchs, smax)
         out = jax.lax.dot_general(
             A, fd["oh"], (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)      # [b, tc*NCH, tile_p]
-        return out.reshape(n_tiles, tc, ps.NCH, tile_p // ps.LANE, ps.LANE)
+            precision=jax.lax.Precision.HIGHEST)      # [b, tc*NCHS, tile_p]
+        return out.reshape(n_tiles, tc, nchs, tile_p // ps.LANE, ps.LANE)
 
     def host_at(self, sim_sel, names=("tair", "tdew", "rhz")) -> dict:
         """Host-side per-point values at selected sim steps [n] (for output
@@ -1223,20 +1224,23 @@ class _Engine:
                 enable_skyview=enable_sky,
                 flat_horizons=self.flat_horizons)
 
-        def launch(tmp, scal, forc, t0, nsteps, cof_rows=None):
+        def launch(tmp, scal, forc, t0, nsteps, cof_rows=None,
+                   slim_trf=None, aux_rows=None, aux_cofs=False):
             spec = (P(POINTS, None, None, None, None) if forc.ndim == 5
                     else P(None, None, POINTS))
             forc = jax.lax.with_sharding_constraint(
                 forc, NamedSharding(mesh, spec))
+            need_cofs = (cof_rows is not None) or aux_cofs
             tmp2, scal2, out = pallas_scan_sharded(
                 tmp, scal, forc, cfg, params, grid, mesh,
                 out_stride=self.os_, chunk_t=self.inner_chunk_t,
                 tile_p=self.tile_p, bl_iters=self.bl_iters,
                 interpret=self.interpret, nsteps=nsteps,
                 out_offset=t0, n_out=self.k_alloc, cof_rows=cof_rows,
-                t_total=(T if cof_rows is not None else None),
+                slim_trf=slim_trf, aux_rows=aux_rows, aux_cofs=aux_cofs,
+                t_total=(T if need_cofs else None),
                 cof_red=(settings.coupling_effect_reduction
-                         if cof_rows is not None else None))
+                         if need_cofs else None))
             return tmp2, scal2, out[:, :6]
 
         fast = self.fast
@@ -1248,16 +1252,17 @@ class _Engine:
             def fn(tmp, scal, t0, data, sw_corr, lw_corr):
                 if fused:
                     # decayed coefficients computed IN KERNEL from the
-                    # per-point rows (forcing.cof_window semantics): the
-                    # fused tile-major forcing carries SWCOF/LWCOF = 1
+                    # per-point aux rows (forcing.cof_window semantics);
+                    # the slim tile-major forcing carries neither cof nor
+                    # obs channels
                     forc = expander.fused_window(data["exp"], t0, chunk_t)
                     f32 = lambda x: jnp.asarray(x, jnp.float32)
-                    cofr = jnp.stack([
+                    aux = jnp.stack([
                         f32(sw_corr), f32(lw_corr),
-                        f32(data["pts"].coupling_end),
-                        jnp.zeros_like(f32(sw_corr))])
+                        f32(data["pts"].coupling_end), f32(data["obs"])])
                     return launch(tmp, scal, forc, t0, nsteps,
-                                  cof_rows=cofr)
+                                  slim_trf=data["exp"]["prep"]["trf"],
+                                  aux_rows=aux, aux_cofs=True)
                 swc, lwc = cof_window(
                     sw_corr, lw_corr, data["pts"].coupling_end, t0, chunk_t,
                     T, settings, jnp.float32)
@@ -1275,6 +1280,12 @@ class _Engine:
             def fn(tmp, scal, t0, data):
                 if fused:
                     forc = expander.fused_window(data["exp"], t0, chunk_t)
+                    f32 = lambda x: jnp.asarray(x, jnp.float32)
+                    zero = jnp.zeros_like(f32(data["obs"]))
+                    aux = jnp.stack([zero, zero, zero, f32(data["obs"])])
+                    return launch(tmp, scal, forc, t0, nsteps,
+                                  slim_trf=data["exp"]["prep"]["trf"],
+                                  aux_rows=aux)
                 elif fast:
                     shape = (chunk_t, expander.num_points)
                     ones = jnp.ones(shape, jnp.float32)

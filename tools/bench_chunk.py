@@ -171,12 +171,18 @@ def main(argv=None):
     from roadsurf_tpu.parallel.sharding import pallas_scan_sharded
 
     @jax.jit
-    def kernel_fn(tmp, scal, forc, t0):
+    def kernel_fn(tmp, scal, forc, t0, data):
+        kw = {}
+        if eng.fused:
+            obs = jnp.asarray(data["obs"], jnp.float32)
+            zero = jnp.zeros_like(obs)
+            kw = {"slim_trf": data["exp"]["prep"]["trf"],
+                  "aux_rows": jnp.stack([zero, zero, zero, obs])}
         return pallas_scan_sharded(
             tmp, scal, forc, eng.cfg, eng.params, eng.grid, mesh,
             out_stride=eng.os_, chunk_t=eng.inner_chunk_t,
             bl_iters=eng.bl_iters, interpret=eng.interpret,
-            nsteps=chunk_t, out_offset=t0, n_out=eng.k_alloc)
+            nsteps=chunk_t, out_offset=t0, n_out=eng.k_alloc, **kw)
 
     def sync(out):
         # on the remote-device backend block_until_ready does not force
@@ -227,7 +233,7 @@ def main(argv=None):
 
     def kernel_step(k):
         tmp, scal, rows = kernel_fn(state["tmp"], state["scal"], forc0,
-                                    np.int32(k * chunk_t))
+                                    np.int32(k * chunk_t), eng.data)
         state["tmp"], state["scal"] = tmp, scal
         return scal
 
