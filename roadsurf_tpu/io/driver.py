@@ -33,6 +33,24 @@ def latest_obs_index(obs_tair: np.ndarray) -> np.ndarray:
     return np.where(any_valid, last0 + 1, -9999).astype(np.int32)
 
 
+def coupling_window_from_last(i0, obs_v, settings: ModelSettings):
+    """Coupling window fields from the per-point LAST-valid-obs index/value
+    (the shared math of the read_input derivation, examples/example1/src/
+    roadrunner.cpp:258-276 + src/Coupling.f90:511-519): ``i0`` is the
+    0-based sim index of the last valid TSurfObs (-1/-9999 = none), which
+    Fortran consumes as the 1-based end step (the replicated off-by-one).
+
+    Returns (coupling_start [P] i32, coupling_end [P] i32,
+    coupling_tsurf [P] f64)."""
+    i0 = np.asarray(i0)
+    cl = int(settings.coupling_minutes * 60 / settings.dt)
+    usable = i0 >= cl
+    end = np.where(usable, i0, -99).astype(np.int32)
+    start = np.where(usable, np.maximum(i0 - cl, 1), -99).astype(np.int32)
+    tsurf = np.where(usable, np.asarray(obs_v, np.float64), MISSING)
+    return start, end, tsurf
+
+
 def derive_point_params(raw, settings: ModelSettings,
                         obs_tair: Optional[np.ndarray] = None,
                         lat=None, lon=None, sky_view=None, horizons=None
@@ -83,14 +101,11 @@ def derive_point_params(raw, settings: ModelSettings,
         valid = ~(is_missing(tsurf_obs) | (tsurf_obs < -100.0))
         any_valid = valid.any(axis=-1)
         i0 = T - 1 - np.argmax(valid[..., ::-1], axis=-1)   # C++ 0-based i
-        usable = any_valid & (i0 >= cl)
-        coupling_tsurf = np.where(
-            usable, tsurf_obs[np.arange(P), np.clip(i0, 0, T - 1)], MISSING)
-        # Fortran consumes the C++ 0-based index as the 1-based end step
-        coupling_end = np.where(usable, i0, -99).astype(np.int32)
-        # start: end - len, floored at 1 (src/Coupling.f90:511-519)
-        coupling_start = np.where(
-            usable, np.maximum(coupling_end - cl, 1), -99).astype(np.int32)
+        i0 = np.where(any_valid, i0, -1)
+        obs_v = tsurf_obs[np.arange(P), np.clip(i0, 0, T - 1)]
+        coupling_start, coupling_end, coupling_tsurf = \
+            coupling_window_from_last(i0, obs_v, settings)
+        usable = coupling_end >= 1
         # blank obs rows (i0-cl, i0] (roadrunner.cpp:269-275)
         cols = np.arange(T)[None, :]
         blank = (usable[:, None] & (cols <= i0[:, None])

@@ -139,29 +139,31 @@ def write_shard_npz(path: str, point_range, out_steps, fields: dict,
 
 def merge_shards(paths):
     """Assemble shard files written by :func:`write_shard_npz` into the
-    full (out_steps, fields {name: [n_out, P]}); validates that the ranges
-    tile [0, P) exactly."""
+    full (out_steps, fields {name: [n_out, P]}, epochs); validates that
+    the ranges tile [0, P) exactly and that steps/epochs agree across
+    shards.  ``epochs`` is empty when the writers stored none."""
     metas = []
     for p in paths:
         with np.load(p) as z:
             metas.append((int(z["lo"]), int(z["hi"]), dict(z)))
     metas.sort(key=lambda m: m[0])
     steps = metas[0][2]["steps"]
+    epochs = metas[0][2]["epochs"]
     cur = 0
-    parts = []
     for lo, hi, z in metas:
         if lo != cur:
             raise ValueError(f"shard ranges do not tile: gap/overlap at "
                              f"{cur} (next shard starts {lo})")
         if not np.array_equal(z["steps"], steps):
             raise ValueError("shard output steps disagree")
+        if not np.array_equal(z["epochs"], epochs):
+            raise ValueError("shard output epochs disagree")
         cur = hi
-        parts.append(z)
     names = [k for k in metas[0][2]
              if k not in ("lo", "hi", "steps", "epochs")]
     fields = {n: np.concatenate([z[n] for _, _, z in metas], axis=-1)
               for n in names}
-    return steps, fields
+    return steps, fields, epochs
 
 
 def save_checkpoint(path: str, state, point_ids, sim_epoch_end: int):

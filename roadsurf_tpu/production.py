@@ -324,21 +324,21 @@ class StationExpander:
             "sidx": jax.device_put(
                 np.where(ok, st_idx, S).astype(np.int32), shp)}
         if self.point_perm is not None:
-            self._build_fused_arrays(rep, chans, trf, st_pts)
+            self._build_fused_arrays(rep, chans)
 
-    def _build_fused_arrays(self, rep, chans, trf, st_pts):
-        """Device arrays for the fused MXU expansion: the station-rank
-        channel stack ``stf`` [T_pad, NCH, S_pad] and the per-tile one-hot
-        blocks ``oh`` [n_tiles, SMAX, tile_p] (f32; selection by matmul at
-        Precision.HIGHEST is bit-exact -- each output element is
+    def _build_fused_arrays(self, rep, chans):
+        """Device arrays for the fused MXU expansion: the station-rank SLIM
+        channel stack ``stf`` [T_pad, NCH_SLIM, S_pad] (only the
+        (station, step)-varying channels -- the kernel sources TRF, the
+        radiation cofs and the coupling obs elsewhere) and the per-tile
+        one-hot blocks ``oh`` [n_tiles, SMAX, tile_p] (f32; selection by
+        matmul at Precision.HIGHEST is bit-exact -- each output element is
         1.0 * value + 0-terms)."""
         from .ops import pallas_step as ps
         plan = self._fused_plan
         mesh = self.mesh
         smax, s_pad = plan["smax"], plan["s_pad"]
         n_tiles, tile_p = plan["n_tiles"], plan["tile_p"]
-        t_pad = self.t_pad
-        obs_st = jnp.asarray(np.asarray(st_pts.coupling_tsurf), jnp.float32)
         lidx = jax.device_put(plan["lidx"],
                               NamedSharding(mesh, P(POINTS)))
         widx = jax.device_put(
@@ -346,31 +346,17 @@ class StationExpander:
              + np.arange(smax)[None, :]).astype(np.int32),
             NamedSharding(mesh, P(POINTS, None)))
 
-        def build(chans, trf, obs_st, lidx):
-            S1 = obs_st.shape[0]
-            rows = []
-            for c in range(ps.NCH):
-                if c in chans:
-                    r = chans[c]                        # [S+1, t_pad]
-                elif c in (ps.C_SWCOF, ps.C_LWCOF):
-                    r = jnp.ones((S1, t_pad), jnp.float32)
-                elif c == ps.C_CPLOBS:
-                    r = jnp.broadcast_to(obs_st[:, None], (S1, t_pad))
-                elif c == ps.C_TRF:
-                    r = jnp.broadcast_to(trf[None, :], (S1, t_pad))
-                else:
-                    r = jnp.zeros((S1, t_pad), jnp.float32)
-                rows.append(r)
-            stf = jnp.stack(rows)                       # [NCH, S+1, t_pad]
+        def build(chans, lidx):
+            S1 = chans[ps.C_TAIR].shape[0]
+            stf = jnp.stack([chans[c] for c in ps.SLIM_CHANNELS])
             stf = jnp.pad(stf, ((0, 0), (0, s_pad - S1), (0, 0)))
-            stf = jnp.transpose(stf, (2, 0, 1))         # [t_pad, NCH, s_pad]
+            stf = jnp.transpose(stf, (2, 0, 1))    # [t_pad, NCHS, s_pad]
             oh = (jnp.arange(smax, dtype=jnp.int32)[None, :, None]
                   == lidx.reshape(n_tiles, 1, tile_p)).astype(jnp.float32)
             return stf, oh
 
         out_sh = (rep, NamedSharding(mesh, P(POINTS, None, None)))
-        stf, oh = jax.jit(build, out_shardings=out_sh)(
-            chans, trf, obs_st, lidx)
+        stf, oh = jax.jit(build, out_shardings=out_sh)(chans, lidx)
         self.prep_data["fused"] = {"stf": stf, "oh": oh, "widx": widx}
 
     def fused_window(self, data, t0, tc: int):
@@ -386,7 +372,6 @@ class StationExpander:
         fd = data["prep"]["fused"]
         smax, n_tiles, tile_p = plan["smax"], plan["n_tiles"], plan["tile_p"]
         W = jax.lax.dynamic_slice_in_dim(fd["stf"], t0, tc, axis=0)
-        W = W[:, np.array(ps.SLIM_CHANNELS)]          # [tc, NCHS, S_pad]
         A = jnp.take(W, fd["widx"], axis=2)           # [tc, NCHS, b, SMAX]
         nchs = ps.NCH_SLIM
         A = jnp.transpose(A, (2, 0, 1, 3)).reshape(n_tiles, tc * nchs, smax)
@@ -558,6 +543,10 @@ def validation_counts(expander, mesh, T: int, chunk_t: int = 64,
     """
     data = expander.device_data
     Pn = expander.num_points
+    # the expander's tail padding covers windows up to t_pad; a larger
+    # chunk would make dynamic_slice clamp its start and silently evaluate
+    # the wrong time rows
+    chunk_t = max(1, min(chunk_t, expander.t_pad - T))
     shp = NamedSharding(mesh, P(None, POINTS))
 
     @jax.jit
@@ -602,6 +591,7 @@ def last_valid_scan(expander, mesh, T: int, chunk_t: int = 64,
     """
     data = expander.device_data
     Pn = expander.num_points
+    chunk_t = max(1, min(chunk_t, expander.t_pad - T))   # see validation_counts
     shp = NamedSharding(mesh, P(POINTS))
 
     @jax.jit
@@ -738,12 +728,8 @@ class GridExpander:
             pv_dev[name] = jax.device_put(
                 np.ascontiguousarray(
                     self._point_series(name)).astype(fdt), shp2)   # [P, K]
-        # the cache holds [P, R] float64 per variable (~0.6 GB each at 1M
-        # points): keep only the host_at staples (output writer / anchor
-        # derivation); anything else rebuilds lazily via _point_series
-        for name in list(self._pv_cache):
-            if name not in ("tair", "tdew", "rhz"):
-                del self._pv_cache[name]
+        # (the cache holds only _PV_STAPLES -- ~0.6 GB per variable at 1M
+        # points; _point_series computes everything else without caching)
         self._data = {
             "pv": pv_dev,
             "trw": jax.device_put((times - sim[0]).astype(fdt), rep),
@@ -760,20 +746,27 @@ class GridExpander:
                 else np.full(Pn, -9999 if n == "prec_phase" else MISSING))
             for n in RawForcing._fields}
 
+    #: host_at variables worth keeping resident (repeated reads by the
+    #: output writer and the relaxation derivation loops); everything else
+    #: is a rare one-off and recomputes rather than pinning ~0.6 GB/var
+    _PV_STAPLES = ("tair", "tdew", "rhz", "vz")
+
     def _point_series(self, name) -> np.ndarray:
-        """Spatially-extracted [P, R] float64 series, cached: the bilinear /
-        nearest-corner pass is by far the heaviest part of host_at, and it
-        is identical on every call (the output writer and relaxation-anchor
-        derivation each redid it before)."""
-        if name not in self._pv_cache:
-            from .io.gridsource import bilinear_at_points, \
-                nearest_corner_at_points
-            times, glats, glons, fields, plat, plon, _ = self._href
-            interp_sp = (nearest_corner_at_points if name == "prec_phase"
-                         else bilinear_at_points)
-            self._pv_cache[name] = interp_sp(
-                fields[name], glats, glons, plat, plon).T          # [P, R]
-        return self._pv_cache[name]
+        """Spatially-extracted [P, R] float64 series; staples are cached
+        (the bilinear / nearest-corner pass is by far the heaviest part of
+        host_at and identical on every call), non-staples recompute so the
+        cache never regrows past the staple set."""
+        if name in self._pv_cache:
+            return self._pv_cache[name]
+        from .io.gridsource import bilinear_at_points, \
+            nearest_corner_at_points
+        times, glats, glons, fields, plat, plon, _ = self._href
+        interp_sp = (nearest_corner_at_points if name == "prec_phase"
+                     else bilinear_at_points)
+        out = interp_sp(fields[name], glats, glons, plat, plon).T  # [P, R]
+        if name in self._PV_STAPLES:
+            self._pv_cache[name] = out
+        return out
 
     def _host_values(self, sim_abs, names) -> dict:
         """The GridSource.at_points pipeline at arbitrary epoch times
@@ -1399,6 +1392,10 @@ class _Engine:
             else:
                 hleaves = jax.tree.map(_to_host, ust)
                 lo, hi = 0, self.P_pad
+            # a padding-only shard (every row >= n_real) must anchor its
+            # empty range at n_real so the shard ranges still tile
+            # [0, n_real) exactly for merge_shards
+            lo_eff = min(lo, self.n_real)
             n_loc = max(0, min(hi, self.n_real) - lo)
             if self._inv is not None:      # sorted -> original point order
                 inv = self._inv[lo:hi] - lo   # block-local, stays in range
@@ -1424,7 +1421,7 @@ class _Engine:
                       for name, r in OUT_FIELD_ROWS.items()}
         return ProductionResult(state=final, out_steps=all_steps,
                                 fields=fields, point_steps_per_s=rate,
-                                point_range=(lo, lo + n_loc))
+                                point_range=(lo_eff, lo_eff + n_loc))
 
 
 def run_production(model: Model, expander, pts: PointParams, cal: Calendar,

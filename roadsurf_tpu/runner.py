@@ -539,21 +539,17 @@ def run_production_config(config, settings, cal, sim_epochs, now, start, *,
             # (read_input derivation, examples/example1/src/roadrunner.cpp:
             # 258-276 on the DataManager-merged series); replaces the
             # station-level derivation, which cannot see grid obs
+            from .io.driver import coupling_window_from_last
             lv = production.last_valid_scan(
                 expander, mesh, sim_len, chunk_t=chunk_t,
                 names=("tsurf_obs",), n_real=P)
             i0, obs_v = lv["tsurf_obs"]
-            cl = int(settings.coupling_minutes * 60 / settings.dt)
-            usable = i0 >= cl
-            pts = pts._replace(
-                coupling_tsurf=np.where(usable, obs_v.astype(np.float64),
-                                        -9999.9),
-                coupling_end=np.where(usable, i0, -99).astype(np.int32),
-                coupling_start=np.where(usable, np.maximum(i0 - cl, 1),
-                                        -99).astype(np.int32))
+            cs, ce, ct_obs = coupling_window_from_last(i0, obs_v, settings)
+            pts = pts._replace(coupling_start=cs, coupling_end=ce,
+                               coupling_tsurf=ct_obs)
             if verbose:
-                print(f"Grid-obs coupling: {int(usable.sum())}/{P} points "
-                      f"carry a usable merged obs window")
+                print(f"Grid-obs coupling: {int((ce >= 1).sum())}/{P} "
+                      f"points carry a usable merged obs window")
 
         if grid_srcs and settings.use_relaxation:
             # the relaxation fields read the MERGED overlay (read_input works

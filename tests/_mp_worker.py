@@ -137,7 +137,8 @@ def main():
                     res_s.out_steps, res_s.fields)
     multihost_utils.sync_global_devices("shards_written")
     if pid == 0:
-        steps, fields = merge_shards(sorted(shard_dir.glob("shard_*.npz")))
+        steps, fields, _ = merge_shards(
+            sorted(shard_dir.glob("shard_*.npz")))
         np.testing.assert_array_equal(steps, res_f.out_steps)
         for n in ("tsurf", "wat", "snow"):
             np.testing.assert_array_equal(fields[n], res_f.fields[n],

@@ -147,7 +147,7 @@ def test_shard_npz_roundtrip(tmp_path):
     for i, (lo, hi) in enumerate([(0, 40), (40, 96)]):
         write_shard_npz(tmp_path / f"s{i}.npz", (lo, hi), steps,
                         {n: v[:, lo:hi] for n, v in fields.items()})
-    msteps, mfields = merge_shards(sorted(tmp_path.glob("s*.npz")))
+    msteps, mfields, _ = merge_shards(sorted(tmp_path.glob("s*.npz")))
     np.testing.assert_array_equal(msteps, steps)
     for n, v in fields.items():
         np.testing.assert_array_equal(mfields[n], v, err_msg=n)
