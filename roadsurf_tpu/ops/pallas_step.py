@@ -366,10 +366,6 @@ def _make_kernel(nsteps, chunk_t, out_stride, cfg, p, dyc, cond_dz, wcont,
             (trf_smem, forc_hbm, tmp_init, scal_init, aux_in, out_hbm,
              tmp_out, scal_out, fbuf, obuf, in_sems, out_sem) = rest
             cof_in = aux_in
-        elif have_cofs:
-            # cof_rows [4, subl, LANE]: sw_corr, lw_corr, coupling_end, pad
-            (forc_hbm, tmp_init, scal_init, cof_in, out_hbm, tmp_out,
-             scal_out, fbuf, obuf, in_sems, out_sem) = rest
         else:
             (forc_hbm, tmp_init, scal_init, out_hbm, tmp_out, scal_out,
              fbuf, obuf, in_sems, out_sem) = rest
@@ -585,7 +581,7 @@ def pallas_scan(tmp0, scal0, forcing, cfg: StepConfig, p: PhysicsParams,
                 tile_p: int = None, bl_iters: int = 40,
                 interpret: bool = False, nsteps: int = None,
                 out_offset=None, n_out: int = None,
-                cof_rows=None, t_total: int = None, cof_red: float = None,
+                t_total: int = None, cof_red: float = None,
                 slim_trf=None, aux_rows=None, aux_cofs: bool = False):
     """Run the fused forecast scan.
 
@@ -600,12 +596,13 @@ def pallas_scan(tmp0, scal0, forcing, cfg: StepConfig, p: PhysicsParams,
     streaming chunk to the chunk_t multiple; steps >= nsteps are no-ops --
     the kernel's ``run`` mask covers exactly this).
 
-    cof_rows: optional [4, P] float32 (sw_corr, lw_corr, coupling_end, pad):
-    the post-coupling radiation coefficients are then computed in kernel
-    per step (forcing.cof_window semantics; requires ``t_total`` -- the
-    full run length for the lastValues reuse -- and ``cof_red`` =
-    settings.coupling_effect_reduction) and MULTIPLY the forcing's
-    SWCOF/LWCOF channels.
+    aux_rows (with slim_trf, the SLIM tile-major mode): [4, P] float32
+    (sw_corr, lw_corr, coupling_end, coupling_obs).  With
+    ``aux_cofs=True`` the post-coupling radiation coefficients are
+    computed in kernel per step (forcing.cof_window semantics; requires
+    ``t_total`` -- the full run length for the lastValues reuse -- and
+    ``cof_red`` = settings.coupling_effect_reduction) and MULTIPLY the
+    forcing's SWCOF/LWCOF values (exactly 1 in slim mode).
 
     out_offset: GLOBAL step index of this call's first step (traced scalar
     ok).  Output rows are collected where (out_offset + t) %% out_stride == 0
@@ -653,11 +650,9 @@ def pallas_scan(tmp0, scal0, forcing, cfg: StepConfig, p: PhysicsParams,
     if not tile_major:
         forcing = forcing.reshape(T, NCH, rows, LANE)
 
-    have_cofs = (cof_rows is not None) or (slim and aux_cofs)
+    have_cofs = slim and aux_cofs
     if have_cofs:
         assert t_total is not None and cof_red is not None
-    if cof_rows is not None:
-        cof_rows = jnp.asarray(cof_rows, jnp.float32).reshape(4, rows, LANE)
     if slim:
         aux_rows = jnp.asarray(aux_rows, jnp.float32).reshape(4, rows, LANE)
         slim_trf = jnp.asarray(slim_trf, jnp.float32)
@@ -692,10 +687,10 @@ def pallas_scan(tmp0, scal0, forcing, cfg: StepConfig, p: PhysicsParams,
                      memory_space=pltpu.VMEM),
     ]
     args += [forcing, tmp0, scal0]
-    if slim or (have_cofs and cof_rows is not None):
+    if slim:
         in_specs.append(pl.BlockSpec((4, subl, LANE), lambda i: (0, i, 0),
                                      memory_space=pltpu.VMEM))
-        args.append(aux_rows if slim else cof_rows)
+        args.append(aux_rows)
     result = pl.pallas_call(
         kernel,
         grid=(n_tiles,),

@@ -75,7 +75,7 @@ def pallas_scan_sharded(tmp0, scal0, forcing, cfg, params, grid,
                         tile_p: Optional[int] = None, bl_iters: int = 40,
                         interpret: bool = False, nsteps: Optional[int] = None,
                         out_offset=None, n_out: Optional[int] = None,
-                        cof_rows=None, t_total: Optional[int] = None,
+                        t_total: Optional[int] = None,
                         cof_red: Optional[float] = None,
                         slim_trf=None, aux_rows=None,
                         aux_cofs: bool = False):
@@ -126,8 +126,6 @@ def pallas_scan_sharded(tmp0, scal0, forcing, cfg, params, grid,
         if slim:
             kw["slim_trf"], kw["aux_rows"] = extra[0], extra[1]
             kw["aux_cofs"] = aux_cofs
-        elif extra:
-            kw["cof_rows"] = extra[0]
         return pallas_scan(tmp, scal, forc, cfg, params, grid,
                            out_stride=out_stride, chunk_t=chunk_t,
                            tile_p=tile_p, bl_iters=bl_iters,
@@ -147,9 +145,6 @@ def pallas_scan_sharded(tmp0, scal0, forcing, cfg, params, grid,
     if slim:
         in_specs += [P(), P(None, POINTS)]
         args += [slim_trf, aux_rows]
-    elif cof_rows is not None:
-        in_specs.append(P(None, POINTS))
-        args.append(cof_rows)
     shard = jax.shard_map(
         local, mesh=mesh, in_specs=tuple(in_specs),
         out_specs=(P(None, POINTS), P(None, POINTS), P(None, None, POINTS)),

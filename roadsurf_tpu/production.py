@@ -1217,23 +1217,22 @@ class _Engine:
                 enable_skyview=enable_sky,
                 flat_horizons=self.flat_horizons)
 
-        def launch(tmp, scal, forc, t0, nsteps, cof_rows=None,
+        def launch(tmp, scal, forc, t0, nsteps,
                    slim_trf=None, aux_rows=None, aux_cofs=False):
             spec = (P(POINTS, None, None, None, None) if forc.ndim == 5
                     else P(None, None, POINTS))
             forc = jax.lax.with_sharding_constraint(
                 forc, NamedSharding(mesh, spec))
-            need_cofs = (cof_rows is not None) or aux_cofs
             tmp2, scal2, out = pallas_scan_sharded(
                 tmp, scal, forc, cfg, params, grid, mesh,
                 out_stride=self.os_, chunk_t=self.inner_chunk_t,
                 tile_p=self.tile_p, bl_iters=self.bl_iters,
                 interpret=self.interpret, nsteps=nsteps,
-                out_offset=t0, n_out=self.k_alloc, cof_rows=cof_rows,
+                out_offset=t0, n_out=self.k_alloc,
                 slim_trf=slim_trf, aux_rows=aux_rows, aux_cofs=aux_cofs,
-                t_total=(T if need_cofs else None),
+                t_total=(T if aux_cofs else None),
                 cof_red=(settings.coupling_effect_reduction
-                         if need_cofs else None))
+                         if aux_cofs else None))
             return tmp2, scal2, out[:, :6]
 
         fast = self.fast
