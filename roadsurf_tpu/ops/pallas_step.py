@@ -711,6 +711,11 @@ def pallas_scan(tmp0, scal0, forcing, cfg: StepConfig, p: PhysicsParams,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # the step body's temporaries scale with the tile: 64 sublanes
+            # sits just under the default 16 MB scoped-vmem stack, 96 needs
+            # 16.5 MB -- raise the cap so wider tiles (more ILP across the
+            # serial boundary-layer chain) stay compilable
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=int(flops_per_point_step * P * nsteps),

@@ -142,9 +142,10 @@ class StationExpander:
 
     def __init__(self, raw_st: RawForcing, st_idx, mesh, chunk_t: int,
                  dtype=jnp.float32, prep_ctx: Optional[dict] = None,
-                 fused: bool = True):
+                 fused: bool = True, tile_p: Optional[int] = None):
         st_idx = np.asarray(st_idx)
         self._fused_wanted = bool(fused)
+        self._fused_tile_p = tile_p        # None = kernel default (TILE_P)
         self.num_points = len(st_idx)
         self.mesh = mesh
         S, T = np.asarray(raw_st.tair).shape
@@ -230,7 +231,7 @@ class StationExpander:
         if Pn % ndev:
             return
         p_loc = Pn // ndev
-        tile_p = min(ps.TILE_P, p_loc)
+        tile_p = self._fused_tile_p or min(ps.TILE_P, p_loc)
         if p_loc % tile_p or tile_p % ps.LANE:
             return
         perm = np.empty(Pn, np.int64)

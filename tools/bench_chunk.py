@@ -46,6 +46,9 @@ def main(argv=None):
                          "experiment; throughput-only, no output remap)")
     ap.add_argument("--grid-ny", type=int, default=300)
     ap.add_argument("--grid-nx", type=int, default=400)
+    ap.add_argument("--tile-p", type=int, default=0,
+                    help="kernel point-tile size override (e.g. 12288 = "
+                         "96 sublanes; slim fbuf must fit VMEM)")
     args = ap.parse_args(argv)
 
     import jax
@@ -111,7 +114,8 @@ def main(argv=None):
         expander = production.StationExpander(raw_st, st_idx_pad, mesh,
                                               chunk_t=chunk_t,
                                               prep_ctx=prep_ctx,
-                                              fused=not args.no_fused)
+                                              fused=not args.no_fused,
+                                              tile_p=args.tile_p or None)
 
     pts = default_point_params(P0)._replace(
         lat=58.0 + rng.uniform(0, 6, P0), lon=20.0 + rng.uniform(0, 10, P0))
@@ -131,7 +135,7 @@ def main(argv=None):
             first["tsurf_obs"])
 
     eng = production._Engine(model, expander, pts, cal, state0, mesh=mesh,
-                             chunk_t=chunk_t)
+                             chunk_t=chunk_t, tile_p=args.tile_p or None)
     fn = eng.chunk_fn(chunk_t, False)
 
     # prep-only jit: identical expansion work, no kernel
