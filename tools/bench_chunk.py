@@ -49,6 +49,8 @@ def main(argv=None):
     ap.add_argument("--tile-p", type=int, default=0,
                     help="kernel point-tile size override (e.g. 12288 = "
                          "96 sublanes; slim fbuf must fit VMEM)")
+    ap.add_argument("--inner-chunk-t", type=int, default=8,
+                    help="kernel double-buffered forcing chunk length")
     args = ap.parse_args(argv)
 
     import jax
@@ -135,7 +137,8 @@ def main(argv=None):
             first["tsurf_obs"])
 
     eng = production._Engine(model, expander, pts, cal, state0, mesh=mesh,
-                             chunk_t=chunk_t, tile_p=args.tile_p or None)
+                             chunk_t=chunk_t, tile_p=args.tile_p or None,
+                             inner_chunk_t=args.inner_chunk_t)
     fn = eng.chunk_fn(chunk_t, False)
 
     # prep-only jit: identical expansion work, no kernel
