@@ -117,7 +117,53 @@ def main():
         pal_dt = time.perf_counter() - t0
         pallas_rate = npoints * t_chunk * n_chunks / pal_dt
 
-    rate = max(scan_rate, pallas_rate or 0.0)
+    # ---- fused production chunk: the operational rate WITH all forcing
+    # production on device (station-level prep + one-hot MXU expansion +
+    # kernel in one jit per chunk; production.StationExpander fused path)
+    fused_rate = None
+    if backend == "tpu" and npoints % ps.TILE_P == 0:
+        try:
+            from roadsurf_tpu import production
+            from roadsurf_tpu.parallel.sharding import make_mesh
+
+            S = 2048
+            T2 = 8 * t_chunk + 1
+            raw_st, cal2 = synthetic_raw(S, T2, dt=30.0, seed=7,
+                                         scenario="winter_mix",
+                                         dtype=np.float32)
+            mesh = make_mesh()
+            rng = np.random.default_rng(7)
+            st_idx = rng.integers(0, S, size=npoints)
+            settings2 = ModelSettings(sim_len=T2, dt=30.0,
+                                      use_relaxation=False)
+            model2 = Model(settings2)
+            ctx = {"st_pts": default_point_params(S + 1), "anchors": None,
+                   "settings": settings2, "params": model2.params,
+                   "hour": cal2.hour, "t_total": T2}
+            exp = production.StationExpander(raw_st, st_idx, mesh,
+                                             chunk_t=t_chunk, prep_ctx=ctx)
+            eng = production._Engine(model2, exp,
+                                     default_point_params(npoints), cal2,
+                                     state, mesh=mesh, chunk_t=t_chunk)
+            fn = eng.chunk_fn(t_chunk, False)
+            tmp, scal = eng.tmp0, eng.scal0
+            tmp, scal, _ = fn(tmp, scal, np.int32(0), eng.data)
+            jax.block_until_ready(scal)
+            t0 = time.perf_counter()
+            for k in range(n_chunks):
+                tmp, scal, _ = fn(tmp, scal, np.int32((k % 8) * t_chunk),
+                                  eng.data)
+            jax.block_until_ready(scal)
+            fdt_ = time.perf_counter() - t0
+            fused_rate = npoints * t_chunk * n_chunks / fdt_
+        except Exception as e:  # keep the headline alive on bench-rig quirks
+            print(f"fused-chunk stage skipped: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
+    # headline = best sustained rate across engines; the fused production
+    # chunk legitimately exceeds the point-major kernel-only stage because
+    # its tile-major slim forcing layout also speeds up the kernel's DMA
+    rate = max(scan_rate, pallas_rate or 0.0, fused_rate or 0.0)
     print(json.dumps({
         "metric": "point_timesteps_per_s_per_chip",
         "value": round(rate, 1),
@@ -128,7 +174,9 @@ def main():
                    "dtype": "float32",
                    "scan_rate": round(scan_rate, 1),
                    "pallas_rate": (round(pallas_rate, 1)
-                                   if pallas_rate else None)},
+                                   if pallas_rate else None),
+                   "fused_production_chunk_rate": (
+                       round(fused_rate, 1) if fused_rate else None)},
     }))
 
 
