@@ -41,8 +41,10 @@ def main():
 
     log = lambda m: (print(m, file=sys.stderr), sys.stderr.flush())
     cfg_path = os.path.join(outdir, "config.json")
+    # v2: even station-raster subsampling (the v1 tail truncation failed
+    # 605 NE-corner points by construction)
     stamp = os.path.join(outdir,
-                         f"gen_{stations}_{ny}_{nx}.stamp")
+                         f"gen_{stations}_{ny}_{nx}_v2.stamp")
     if not os.path.exists(stamp):
         log(f"generating workload in {outdir} ...")
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

@@ -128,7 +128,8 @@ def prepare_window(rawT: RawForcing, pts: PointParams, hour, settings, p,
                    t_offset=0, t_total: int = None, anchors=None, jde=None,
                    use_relaxation: Optional[jnp.ndarray] = None,
                    enable_skyview: bool = False,
-                   flat_horizons: bool = False) -> Prepared:
+                   flat_horizons: bool = False,
+                   time_axis: int = 0) -> Prepared:
     """Window-parameterized, time-major forcing preparation (jit-safe).
 
     The production engine streams forcing in time chunks (the full [T, P]
@@ -141,12 +142,29 @@ def prepare_window(rawT: RawForcing, pts: PointParams, hour, settings, p,
     length T (for the first/last-step quirks); anchors: the
     ``relax_anchors`` triple (required when settings.use_relaxation);
     jde: [Tc] julian ephemeris day (required when ``enable_skyview``).
+
+    ``time_axis``: position of the time axis in the rawT leaves; remaining
+    axes are point axes of any shape, with pts/anchors leaves shaped to
+    match (the fused tile-major production path calls this with
+    [n_tiles, Tc, subl, LANE] leaves and time_axis=1 -- every rule is
+    elementwise over points, so the prepared channels land directly in the
+    Pallas kernel's tile-major layout with no transposes).  Sky view
+    requires the default [Tc, P] layout.
     """
-    Tc = rawT.tair.shape[0]
+    ta = time_axis
+    nd = jnp.asarray(rawT.tair).ndim
+    Tc = rawT.tair.shape[ta]
     dtype = rawT.tair.dtype
     t_idx = t_offset + jnp.arange(Tc)             # [Tc] global step index
-    last = (t_idx == t_total - 1)[:, None]        # the lastValues step
-    pvec = lambda x: jnp.asarray(x)[None, :]      # [1, P] broadcast helper
+
+    def tb(x):                                    # [Tc] broadcast helper
+        x = jnp.asarray(x)
+        return x.reshape((1,) * ta + (Tc,) + (1,) * (nd - ta - 1))
+
+    def pvec(x):                                  # point-shaped broadcast
+        return jnp.expand_dims(jnp.asarray(x), ta)
+
+    last = tb(t_idx == t_total - 1)               # the lastValues step
 
     skyview_active = (pts.sky_view < 1.0) & (pts.sky_view > -0.01)
 
@@ -165,7 +183,7 @@ def prepare_window(rawT: RawForcing, pts: PointParams, hour, settings, p,
     valid = ok | last
 
     # Initialization.f90:121-123 -- first wind value floored before anything
-    vz = jnp.where((t_idx == 0)[:, None], jnp.maximum(rawT.vz, 0.4), rawT.vz)
+    vz = jnp.where(tb(t_idx == 0), jnp.maximum(rawT.vz, 0.4), rawT.vz)
 
     # CheckValues SW_dir <= SW clamp (InputOutput.f90:75-77); the last step
     # skips CheckValues, so the clamp is masked off there.
@@ -175,6 +193,7 @@ def prepare_window(rawT: RawForcing, pts: PointParams, hour, settings, p,
     # 0 <= sky_view < 1; Simulation.f90:152-155) -------------------------
     sw, lw = rawT.sw, rawT.lw
     if enable_skyview:
+        assert ta == 0 and nd == 2, "sky view requires [Tc, P] layout"
         jde = jnp.asarray(jde, dtype=dtype)
         elev, azim = elevation_azimuth(jde[None, :], pts.lat[..., None],
                                        pts.lon[..., None])      # [P, Tc]
@@ -204,7 +223,7 @@ def prepare_window(rawT: RawForcing, pts: PointParams, hour, settings, p,
         assert anchors is not None, "relaxation requires relax_anchors()"
         tair_a, vz_a, rhz_a = anchors
         t0 = pvec(pts.init_len - 1)               # 0-based anchor step
-        tcol = t_idx[:, None]
+        tcol = tb(t_idx)
         # adjustment applies for 1-based i > InitLenI, i.e. t >= init_len,
         # and never to the final step (lastValues)
         adj_mask = (tcol >= t0 + 1) & (~last) & pvec(relax_on)
@@ -223,7 +242,7 @@ def prepare_window(rawT: RawForcing, pts: PointParams, hour, settings, p,
     is_night = (hour >= p.night_on) | (hour <= p.night_off)
     calm_lim = jnp.where(is_night, p.calm_lim_ngt, p.calm_lim_day).astype(dtype)
     trf_fric = jnp.where(is_night, p.trf_fric_ngt, p.trf_fric_day).astype(dtype)
-    vz = jnp.maximum(vz, calm_lim[:, None])
+    vz = jnp.maximum(vz, tb(calm_lim))
 
     # --- precipitation typing (pure in forcing after relaxation) --------
     prec_step = rawT.prec / 3600.0 * settings.dt  # SetCurrentValues :111
@@ -232,7 +251,7 @@ def prepare_window(rawT: RawForcing, pts: PointParams, hour, settings, p,
 
     # --- obs forcing of the surface temperature (SetCurrentValues,
     # src/InputOutput.f90:116-148) ---------------------------------------
-    tcol = t_idx[:, None]
+    tcol = tb(t_idx)
     in_init = (tcol + 1) <= pvec(pts.init_len)
     force_phase = in_init | bool(settings.force_tsurf)
     coupling_on = ((pts.coupling_end >= 1)
@@ -247,7 +266,7 @@ def prepare_window(rawT: RawForcing, pts: PointParams, hour, settings, p,
     # the final step keeps the previous flag (no CouplingOperations1 there):
     # the flag is analytic in t, so the last step evaluates it at t-1.
     te = jnp.where((t_idx == t_total - 1) & (t_total >= 2), t_idx - 1, t_idx)
-    tecol = te[:, None]
+    tecol = tb(te)
     in_coupling = (pvec(coupling_on)
                    & ((tecol + 1) >= pvec(pts.coupling_start))
                    & ((tecol + 1) <= pvec(pts.coupling_end)))

@@ -475,6 +475,11 @@ def run_production_config(config, settings, cal, sim_epochs, now, start, *,
             prep_ctx = None
             skyview_any = bool(np.any((np.asarray(svf) < 1.0)
                                       & (np.asarray(svf) > -0.01)))
+            # grid+station overlay: the station part emits RAW tile-major
+            # windows (one-hot MXU expansion) so the composite rides the
+            # fused-generic slim kernel path; the sort permutation is shared
+            # with every grid part below
+            raw_tm = bool(grid_srcs) and not skyview_any
             if not grid_srcs and not skyview_any:
                 S_st = len(st_lats)
                 app = lambda a, fill, dt=None: np.concatenate(
@@ -500,9 +505,18 @@ def run_production_config(config, settings, cal, sim_epochs, now, start, *,
                 prep_ctx = {"st_pts": st_pts1, "anchors": anch1,
                             "settings": settings, "params": model.params,
                             "hour": cal.hour, "t_total": sim_len}
-            parts.append((st_pos, production.StationExpander(
+            sexp = production.StationExpander(
                 raw_st, st_idx_pad, mesh, chunk_t=chunk_t,
-                prep_ctx=prep_ctx)))
+                prep_ctx=prep_ctx, raw_tm=raw_tm)
+            parts.append((st_pos, sexp))
+            shared_perm = sexp.point_perm if raw_tm else None
+            # grid parts must tile like the station plan (it may auto-tune
+            # a smaller tile_p for dense station maps)
+            shared_tp = (sexp._fused_plan["tile_p"]
+                         if shared_perm is not None else None)
+        else:
+            shared_perm = None
+            shared_tp = None
         if grid_srcs:
             lat_pad = production._pad_tail(np.asarray(lats, np.float64),
                                            p_pad)
@@ -511,7 +525,8 @@ def run_production_config(config, settings, cal, sim_epochs, now, start, *,
             for i, s in grid_srcs:
                 gexp = production.GridExpander(
                     s.times, s.lats, s.lons, s.fields, lat_pad, lon_pad,
-                    sim_epochs, mesh, chunk_t=chunk_t)
+                    sim_epochs, mesh, chunk_t=chunk_t,
+                    point_perm=shared_perm, tile_p=shared_tp)
                 gexp_by_src[i] = gexp
                 parts.append((i, gexp))
         parts = [p for _, p in sorted(parts, key=lambda t: t[0])]
@@ -521,7 +536,10 @@ def run_production_config(config, settings, cal, sim_epochs, now, start, *,
         if grid_srcs and verbose:
             # the up-front station required-var check was skipped (grid
             # sources may fill the gaps): recover the reference's per-point
-            # skip report from the MERGED forcing (roadrunner.cpp:183-231)
+            # skip report from the MERGED forcing (roadrunner.cpp:183-231).
+            # NOTE: this screen runs device collectives -- under
+            # jax.distributed every process must pass the SAME ``verbose``
+            # (mixed flags desync the collective streams)
             counts, n_bad = production.validation_counts(
                 expander, mesh, sim_len, chunk_t=chunk_t, n_real=P)
             if n_bad:
@@ -718,7 +736,30 @@ def run_production_config(config, settings, cal, sim_epochs, now, start, *,
     return res.state, out_fields
 
 
+def merge_shards_cli(argv):
+    """``roadsurf-tpu merge-shards out.npz shard0.npz shard1.npz ...`` --
+    assemble per-process output shards (runner ``drain='shard'`` writes,
+    io.writer.write_shard_npz) into one full-range npz.  The multi-host
+    equivalent of the reference's single shared output object
+    (examples/example2/src/QueryDataTools.cpp:299-345)."""
+    ap = argparse.ArgumentParser(prog="roadsurf-tpu merge-shards")
+    ap.add_argument("output", help="merged npz path")
+    ap.add_argument("shards", nargs="+", help="shard npz files (any order)")
+    args = ap.parse_args(argv)
+    from .io.writer import merge_shards
+    steps, fields, epochs = merge_shards(args.shards)
+    np.savez_compressed(args.output, steps=np.asarray(steps, np.int64),
+                        epochs=np.asarray(epochs, np.int64), **fields)
+    npts = next(iter(fields.values())).shape[-1] if fields else 0
+    print(f"Merged {len(args.shards)} shards -> {args.output} "
+          f"({npts} points x {len(np.asarray(steps))} output steps)")
+
+
 def main(argv=None):
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "merge-shards":
+        return merge_shards_cli(argv[1:])
     ap = argparse.ArgumentParser(
         prog="roadsurf-tpu",
         description="TPU road weather model runner (example1-compatible)")

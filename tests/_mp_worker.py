@@ -144,6 +144,110 @@ def main():
             np.testing.assert_array_equal(fields[n], res_f.fields[n],
                                           err_msg=n)
 
+    # --- COUPLED production across processes (VERDICT r4 item 4): the
+    # segmented driver's phase-B window engine + decayed-cof phase C run
+    # SPMD; per-shard drain columns must match the single-process scan
+    # coupled engine ---------------------------------------------------
+    from roadsurf_tpu.io.driver import derive_point_params
+
+    settings_c = ModelSettings(sim_len=T, dt=30.0, use_coupling=True,
+                               coupling_minutes=15.0)
+    model_c = Model(settings_c)
+    # plant a usable mid-run observation (the synthetic hourly obs cadence
+    # leaves only step 0 valid at this short T)
+    obs_arr = np.asarray(raw_st.tsurf_obs).copy()
+    obs_arr[:, 40] = np.asarray(raw_st.tair)[:, 40] - 1.0
+    raw_st = raw_st._replace(tsurf_obs=obs_arr)
+    pts_st_c, blank_st = derive_point_params(raw_st, settings_c)
+    raw_st_b = raw_st._replace(tsurf_obs=blank_st)
+    exp_c = production.StationExpander(raw_st_b, st_idx, mesh, chunk_t=16)
+    gp = lambda a: np.asarray(a)[st_idx]
+    pts_c = pts2._replace(coupling_start=gp(pts_st_c.coupling_start),
+                          coupling_end=gp(pts_st_c.coupling_end),
+                          coupling_tsurf=gp(pts_st_c.coupling_tsurf))
+    assert (np.asarray(pts_c.coupling_end) >= 1).any(), \
+        "coupled section needs live coupling windows"
+    raw_pt_b = RawForcing(*(np.asarray(getattr(raw_st_b, n))[st_idx]
+                            for n in RawForcing._fields))
+    state0_c = jax.tree.map(np.asarray,
+                            model_c.init(raw_pt_b, cal2, dtype=jnp.float32,
+                                         pts=pts_c))
+    res_c = production.run_production_coupled(
+        model_c, exp_c, pts_c, cal2, state0_c, mesh=mesh, chunk_t=16,
+        out_stride=8, interpret=True, drain="shard")
+    _, out_pc = model_c.run_coupled(raw_pt_b, pts_c, cal2, out_stride=8)
+    out_pc = np.asarray(out_pc)
+    lo_c, hi_c = res_c.point_range
+    assert hi_c - lo_c == P2 // nproc, res_c.point_range
+    np.testing.assert_allclose(res_c.fields["tsurf"],
+                               out_pc[:, lo_c:hi_c, 0],
+                               rtol=2e-4, atol=2e-3)
+
+    # --- grid + composite (fused-generic tile-major) across processes --
+    from roadsurf_tpu.io.gridsource import GridSource
+
+    t0e = 1575158400
+    sim2 = t0e + (30.0 * np.arange(T)).astype(np.int64)
+    gtimes = t0e + 1800 * np.arange(2 + T // 60, dtype=np.int64)
+    glats = np.linspace(60.0, 61.0, 3)
+    glons = np.linspace(24.0, 25.5, 4)
+    grng = np.random.default_rng(31)
+    R = len(gtimes)
+    gfields = {
+        "tair": -4.0 + grng.normal(0, 1.0, (R, 3, 4)),
+        "rhz": np.clip(80.0 + grng.normal(0, 10.0, (R, 3, 4)), 30, 100),
+        "vz": np.abs(grng.normal(3.0, 1.0, (R, 3, 4))),
+        "prec": np.abs(grng.normal(0.2, 0.2, (R, 3, 4))),
+        "sw": np.abs(grng.normal(20.0, 10.0, (R, 3, 4))),
+        "lw": 280.0 + grng.normal(0, 5.0, (R, 3, 4))}
+    plat = np.clip(60.0 + grng.uniform(0, 1.0, P2), 60.0, 61.0)
+    plon = np.clip(24.0 + grng.uniform(0, 1.5, P2), 24.0, 25.5)
+    cal3 = type(cal2).from_epochs(sim2)
+    sexp_g = production.StationExpander(raw_st_b, st_idx, mesh, chunk_t=16,
+                                        raw_tm=True)
+    gexp = production.GridExpander(
+        gtimes, glats, glons, gfields, plat, plon, sim2, mesh, chunk_t=16,
+        point_perm=sexp_g.point_perm,
+        tile_p=(sexp_g._fused_plan["tile_p"]
+                if sexp_g.point_perm is not None else None))
+    comp = production.CompositeExpander([gexp, sexp_g])
+    pts_g = pts2._replace(lat=plat, lon=plon)
+    first = comp.first_host
+    raw0 = RawForcing(*(np.broadcast_to(np.asarray(first[n])[:, None],
+                                        (P2, T))
+                        for n in RawForcing._fields))
+    state0_g = jax.tree.map(np.asarray,
+                            model.init(raw0, cal3, dtype=jnp.float32))
+    eng_g = production._Engine(model, comp, pts_g, cal3, state0_g,
+                               mesh=mesh, chunk_t=16, interpret=True)
+    assert eng_g.fused_generic, "composite fused path must engage SPMD"
+    res_g = production.run_production(model, comp, pts_g, cal3, state0_g,
+                                      mesh=mesh, chunk_t=16, out_stride=8,
+                                      interpret=True)
+    # host reference: merged per-point series through the scan engine
+    src = GridSource.__new__(GridSource)
+    src.is_observation = False
+    src.sim_times = sim2
+    src.times, src.lats, src.lons = gtimes, glats, glons
+    src.fields = {k: np.asarray(v, np.float64) for k, v in gfields.items()}
+    vals = src.at_points(plat, plon)
+    merged_pt = {}
+    for n in RawForcing._fields:
+        gv = vals.get(n)
+        sv = np.asarray(getattr(raw_pt_b, n), np.float64)
+        if gv is None:
+            merged_pt[n] = sv
+        else:
+            thr = -1000.0 if n == "lw_net" else -100.0
+            merged_pt[n] = np.where(sv > thr, sv, gv)
+    raw_ref = RawForcing(**{
+        n: (np.asarray(v, np.int64) if n == "prec_phase" else v)
+        for n, v in merged_pt.items()})
+    _, out_ref3 = model.run(raw_ref, pts_g, cal3)
+    np.testing.assert_allclose(res_g.fields["tsurf"],
+                               np.asarray(out_ref3.tsurf)[::8],
+                               rtol=2e-4, atol=2e-3)
+
     print(f"MP_OK {pid} checked={checked} prod={res.fields['tsurf'].shape}")
 
 

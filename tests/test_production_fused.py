@@ -102,13 +102,49 @@ def test_fused_coupled_matches_gather_bitwise():
                           np.asarray(runs["gather"].state.failed))
 
 
+def test_fused_plan_autotunes_tile_for_dense_maps():
+    """A dense station map that blows the span cap at the device-block
+    default tile auto-tunes to a HALVED tile (spans shrink with the tile)
+    instead of bailing to the row-gather path (VERDICT r4 item 5) -- and
+    stays bitwise-equal to the gather expansion."""
+    # a tile of tile_p sorted points drawn from S stations spans
+    # ~S * tile_p / p_loc rows: with p_loc=512 and S=800, the default
+    # 512-point tile spans ~800 (smax 896 > 512 cap) while the halved
+    # 256-point tile spans ~400 (smax 512, fits)
+    S, P = 800, 4096
+    settings, model, raw_st, _, cal, pts, _ = _station_setup(
+        S=S, P=P, T=49, skyview=False, use_relaxation=False)
+    rng = np.random.default_rng(5)
+    st_idx = rng.integers(0, S, size=P)
+    from roadsurf_tpu.forcing import RawForcing
+    raw_pt = RawForcing(*(np.asarray(getattr(raw_st, n))[st_idx]
+                          for n in RawForcing._fields))
+    mesh = make_mesh()
+    exp_f, exp_g = _expanders(settings, model, raw_st, cal, pts, st_idx,
+                              mesh)
+    assert exp_f.point_perm is not None, "auto-tune must find a tile"
+    assert exp_f._fused_plan["tile_p"] == 256, exp_f._fused_plan["tile_p"]
+    state0 = model.init(raw_pt, cal, dtype=jnp.float32)
+    res = production.run_production(
+        model, exp_f, pts, cal, state0, mesh=mesh, chunk_t=32,
+        out_stride=12, inner_chunk_t=8, interpret=True)
+    ref = production.run_production(
+        model, exp_g, pts, cal, state0, mesh=mesh, chunk_t=32,
+        out_stride=12, inner_chunk_t=8, interpret=True)
+    for name in res.fields:
+        np.testing.assert_array_equal(res.fields[name], ref.fields[name],
+                                      err_msg=name)
+
+
 def test_fused_infeasible_falls_back_to_gather():
-    """Tiles spanning more than FUSED_SMAX_CAP station rows (sparse many-
-    station maps) must fall back to the row-gather fast path, not break."""
-    S = 400
+    """Tiles spanning more than FUSED_SMAX_CAP station rows (dense many-
+    station maps) must fall back to the row-gather fast path, not break.
+    S=900 over 128-point tiles spans ~900 rows > the 512 cap at every
+    auto-tune candidate (128 is already the minimum tile)."""
+    S = 900
     settings, model, raw_st, raw_pt, cal, pts, st_idx = _station_setup(
         S=S, P=1000, skyview=False, use_relaxation=False)
-    # every device block's 128 sorted points span ~S stations > 256 cap
+    # every device block's 128 sorted points span ~S stations > the cap
     rng = np.random.default_rng(3)
     st_idx = rng.permutation(np.repeat(np.arange(S), -(-1000 // S))[:1000])
 

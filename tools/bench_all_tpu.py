@@ -24,7 +24,8 @@ import time
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 STAGES = ("coupled", "chunk_fast", "chunk_gather", "chunk", "chunk_skyview",
-          "chunk_grid", "inner", "full")
+          "chunk_grid", "chunk_composite", "chunk_grid_generic",
+          "coupled_grid", "density", "inner", "full")
 
 
 def _stage(name, fn):
@@ -60,6 +61,23 @@ def main(argv=None):
         elif name == "chunk_grid":
             from tools.bench_chunk import main as m
             _stage(name, lambda: m(["--grid"]))
+        elif name == "chunk_composite":
+            from tools.bench_chunk import main as m
+            _stage(name, lambda: m(["--composite"]))
+        elif name == "chunk_grid_generic":
+            # the pre-round-5 generic per-point grid path, for comparison
+            from tools.bench_chunk import main as m
+            _stage(name, lambda: m(["--grid", "--no-tm"]))
+        elif name == "coupled_grid":
+            from tools.bench_coupled import main as m
+            _stage(name, lambda: m(["--points", "262144", "--grid",
+                                    "--scenario", "typical"]))
+        elif name == "density":
+            # dense station map (VERDICT r4 item 5): ~10k stations at 262k
+            # points -- the fused plan must auto-tune or degrade gracefully
+            from tools.bench_chunk import main as m
+            _stage(name, lambda: m(["--fast", "--stations", "10240",
+                                    "--points", "262144"]))
         elif name == "coupled":
             from tools.bench_coupled import main as m
             _stage(name, lambda: m(["--points", "262144"]))

@@ -31,6 +31,15 @@ def main(argv=None):
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--grid", action="store_true",
                     help="bench the GridExpander path instead of stations")
+    ap.add_argument("--composite", action="store_true",
+                    help="grid forecast + station overlay through the "
+                         "fused-generic CompositeExpander (the reference's "
+                         "operational config)")
+    ap.add_argument("--no-tm", action="store_true",
+                    help="with --grid/--composite: disable the tile-major "
+                         "fused-generic path (generic per-point prep)")
+    ap.add_argument("--extract", choices=("device", "host"),
+                    default="device", help="grid spatial extraction site")
     ap.add_argument("--fast", action="store_true",
                     help="station-level prepared channels (prep_ctx path; "
                          "fused MXU expansion unless --no-fused)")
@@ -75,7 +84,7 @@ def main(argv=None):
 
     mesh = make_mesh()
     p_pad = production.padded_points(P0, mesh)
-    if args.grid:
+    if args.grid or args.composite:
         t0e = 1575158400
         sim = t0e + (dt * np.arange(T)).astype(np.int64)
         times = t0e + 3600 * np.arange(1 + int(T * dt // 3600) + 1,
@@ -96,13 +105,37 @@ def main(argv=None):
         plat = rng.uniform(59.6, 70.1, p_pad)
         plon = rng.uniform(20.5, 31.6, p_pad)
         t0w = time.perf_counter()
-        expander = production.GridExpander(times, glats, glons, fields,
-                                           plat, plon, sim, mesh,
-                                           chunk_t=chunk_t)
+        tile_p_g = 100 if args.no_tm else None   # non-LANE multiple = flat
+        shared_perm = None
+        sexp = None
+        if args.composite:
+            st_idx_pad = rng.integers(0, S, size=p_pad)
+            # operational shape: the grid is the forecast, stations carry
+            # only the obs channel (roadrunner.cpp:763-792 source stack)
+            from roadsurf_tpu.forcing import RawForcing as _RF
+            raw_obs = _RF(*((getattr(raw_st, n) if n == "tsurf_obs"
+                             else np.full_like(
+                                 np.asarray(getattr(raw_st, n)),
+                                 -9999 if n == "prec_phase" else -9999.9))
+                            for n in _RF._fields))
+            sexp = production.StationExpander(raw_obs, st_idx_pad, mesh,
+                                              chunk_t=chunk_t,
+                                              raw_tm=not args.no_tm)
+            shared_perm = sexp.point_perm
+            if shared_perm is not None:
+                tile_p_g = sexp._fused_plan["tile_p"]
+        gexp = production.GridExpander(times, glats, glons, fields,
+                                       plat, plon, sim, mesh,
+                                       chunk_t=chunk_t, tile_p=tile_p_g,
+                                       point_perm=shared_perm,
+                                       extract=args.extract)
+        expander = (production.CompositeExpander([gexp, sexp])
+                    if args.composite else gexp)
         build_s = time.perf_counter() - t0w
-        print(f"GridExpander build (host bilinear {len(fields)} vars x "
-              f"{R} samples x {p_pad} pts): {build_s:.1f}s  "
-              f"KW={expander.KW} SPAN={expander.SPAN}", file=sys.stderr)
+        print(f"{'Composite' if args.composite else 'Grid'}Expander build "
+              f"({len(fields)} vars x {R} samples x {p_pad} pts, "
+              f"extract={args.extract}): {build_s:.1f}s  "
+              f"KW={gexp.KW} SPAN={gexp.SPAN}", file=sys.stderr)
     else:
         st_idx_pad = rng.integers(0, S, size=p_pad)
         if args.sorted:
@@ -149,6 +182,8 @@ def main(argv=None):
     def prep_full_fn(t0, data):
         if eng.fused:
             return expander.fused_window(data["exp"], t0, chunk_t)
+        if eng.fused_generic:
+            return eng.slim_forcing(t0, data)[0]
         if eng.fast:
             ones = jnp.ones((chunk_t, expander.num_points), jnp.float32)
             return expander.packed_window(data["exp"], t0, chunk_t,
@@ -180,10 +215,12 @@ def main(argv=None):
     @jax.jit
     def kernel_fn(tmp, scal, forc, t0, data):
         kw = {}
-        if eng.fused:
+        if eng.fused or eng.fused_generic:
             obs = jnp.asarray(data["obs"], jnp.float32)
             zero = jnp.zeros_like(obs)
-            kw = {"slim_trf": data["exp"]["prep"]["trf"],
+            trf = (data["exp"]["prep"]["trf"] if eng.fused
+                   else data["trf"])
+            kw = {"slim_trf": trf,
                   "aux_rows": jnp.stack([zero, zero, zero, obs])}
         return pallas_scan_sharded(
             tmp, scal, forc, eng.cfg, eng.params, eng.grid, mesh,
@@ -247,8 +284,10 @@ def main(argv=None):
     t_kern = time_loop("kernel only", kernel_step)
 
     print(json.dumps({
-        "mode": "grid" if args.grid else "stations",
+        "mode": ("composite" if args.composite
+                 else "grid" if args.grid else "stations"),
         "fast": bool(eng.fast), "fused": bool(getattr(eng, "fused", False)),
+        "fused_generic": bool(getattr(eng, "fused_generic", False)),
         "skyview": bool(args.skyview),
         "points": P0, "chunk_t": chunk_t,
         "full_ms": round(t_full * 1e3, 1),

@@ -127,27 +127,30 @@ def main(argv=None):
         gfields["prec_phase"] = rng.integers(0, 4, (R, ny, nx)).astype(float)
         plat = rng.uniform(59.6, 70.1, p_pad)
         plon = rng.uniform(20.5, 31.6, p_pad)
-        t0b = time.perf_counter()
-        grid_part = production.GridExpander(gtimes, glats, glons, gfields,
-                                            plat, plon, sim_ep, mesh,
-                                            chunk_t=chunk_t)
-        print(f"GridExpander build: {time.perf_counter()-t0b:.1f}s",
-              file=sys.stderr)
-        # station part carries obs only
+        # station part carries obs only; raw_tm enables the fused-generic
+        # tile-major composite (the round-5 operational fast path)
         miss = np.full_like(np.asarray(raw_st.tair), -9999.9)
         obs_only = raw_st._replace(**{
             n: (np.full_like(np.asarray(raw_st.prec_phase), -9999)
                 if n == "prec_phase" else miss)
             for n in raw_st._fields if n != "tsurf_obs"})
         raw_st = obs_only
+        st_part_g = production.StationExpander(raw_st, st_idx_pad, mesh,
+                                               chunk_t=chunk_t, raw_tm=True)
+        t0b = time.perf_counter()
+        grid_part = production.GridExpander(
+            gtimes, glats, glons, gfields, plat, plon, sim_ep, mesh,
+            chunk_t=chunk_t, point_perm=st_part_g.point_perm,
+            tile_p=(st_part_g._fused_plan["tile_p"]
+                    if st_part_g.point_perm is not None else None))
+        print(f"GridExpander build: {time.perf_counter()-t0b:.1f}s "
+              f"(fused={st_part_g.point_perm is not None})", file=sys.stderr)
 
     def expander_for(offset):
         """--fast bakes the (scenario-specific) station obs + coupling
         window into the prepared channels, so each scenario rebuilds."""
         if args.grid:
-            st_part = production.StationExpander(raw_st, st_idx_pad, mesh,
-                                                 chunk_t=chunk_t)
-            return production.CompositeExpander([grid_part, st_part])
+            return production.CompositeExpander([grid_part, st_part_g])
         if not args.fast:
             return production.StationExpander(raw_st, st_idx_pad, mesh,
                                               chunk_t=chunk_t)

@@ -84,8 +84,13 @@ def main(argv=None):
     side = int(np.ceil(np.sqrt(args.stations)))
     gy, gx = np.meshgrid(np.linspace(lat1, lat2, side),
                          np.linspace(lon1, lon2, side), indexing="ij")
-    lats = (gy + rng.uniform(-0.02, 0.02, gy.shape)).ravel()[:args.stations]
-    lons = (gx + rng.uniform(-0.04, 0.04, gx.shape)).ravel()[:args.stations]
+    # drop the surplus raster cells EVENLY (spacing > 1 keeps the indices
+    # distinct): a tail truncation left the last ~68 cells -- the NE corner
+    # -- without stations, failing 605 points by construction (VERDICT r4
+    # weak #5 / item 7)
+    sel = np.linspace(0, side * side - 1, args.stations).astype(np.int64)
+    lats = (gy + rng.uniform(-0.02, 0.02, gy.shape)).ravel()[sel]
+    lons = (gx + rng.uniform(-0.04, 0.04, gx.shape)).ravel()[sel]
 
     if args.grid_source:
         # one smooth NWP field set [R, ny, nx] (hourly): spatial gradients +
