@@ -424,51 +424,80 @@ class StationExpander:
         self.prep_data["fused"] = {"stf": stf, "oh": oh, "widx": widx}
 
     def _build_raw_tm(self, rep, S: int):
-        """RAW channel stack [T_pad, NRAW, S_pad] for the tile-major raw
-        expansion (window_tm): row S is the virtual all-missing station, so
-        out-of-radius points expand to the same sentinels window_from's
-        ``ok`` mask produces.  Raw values are plain finite data (no thermo
-        overflow), so no sanitization is needed before the one-hot matmul."""
+        """RAW channel stack [T_pad, n_active, S_pad] for the tile-major
+        raw expansion (window_tm): row S is the virtual all-missing
+        station, so out-of-radius points expand to the same sentinels
+        window_from's ``ok`` mask produces.  Raw values are plain finite
+        data (no thermo overflow), so no sanitization is needed before the
+        one-hot matmul.
+
+        Only ACTIVE channels (any valid value anywhere) ride the stack and
+        the matmul: the operational composite's station part carries only
+        tsurf_obs (obs overlaying an NWP grid forecast,
+        examples/example2/src/roadrunner.cpp:763-792), so the expansion
+        shrinks 11x and the overlay merge of the constant-missing channels
+        constant-folds away."""
         plan = self._fused_plan
         s_pad = plan["s_pad"]
         oh, widx = self._plan_dev_arrays()
+        def is_active(n):
+            v = np.asarray(getattr(self._raw_host, n))
+            sent = -9999 if n == "prec_phase" else MISSING
+            # inactive ONLY when every value IS the sentinel: the constant
+            # broadcast is then bitwise what the expansion would produce
+            return not np.all(v == np.asarray(sent, v.dtype))
+        active = [n for n in RawForcing._fields if is_active(n)]
 
         def build(channels):
             rows = []
-            for n in RawForcing._fields:
+            for n in active:
                 x = jnp.asarray(getattr(channels, n), jnp.float32)
                 miss = -9999.0 if n == "prec_phase" else float(MISSING)
                 x = jnp.concatenate(
                     [x, jnp.full((1, x.shape[1]), miss, jnp.float32)])
                 rows.append(x)
-            stf = jnp.stack(rows)                  # [NRAW, S+1, T_pad]
+            stf = jnp.stack(rows)                  # [n_active, S+1, T_pad]
             stf = jnp.pad(stf, ((0, 0), (0, s_pad - (S + 1)), (0, 0)))
-            return jnp.transpose(stf, (2, 0, 1))   # [T_pad, NRAW, s_pad]
+            return jnp.transpose(stf, (2, 0, 1))   # [T_pad, n_act, s_pad]
 
-        stf = jax.jit(build, out_shardings=rep)(self.channels)
-        self._raw_tm = {"stf": stf, "oh": oh, "widx": widx}
+        self._raw_tm = {"oh": oh, "widx": widx}
+        if active:
+            self._raw_tm["stf"] = jax.jit(build, out_shardings=rep)(
+                self.channels)
+        self._raw_tm_active = active
         self.tile_geom = (plan["n_tiles"], plan["tile_p"] // ps.LANE)
 
     def window_tm(self, data, t0, tc: int) -> RawForcing:
         """Tile-major RAW forcing [n_tiles, tc, subl, LANE] per field via
         the one-hot MXU expansion (bit-exact selection); flat point order =
         the SORTED order (point_perm), matching every other device-side
-        per-point array of this expander."""
+        per-point array of this expander.  Inactive channels (no valid
+        value at any station) are constant-missing broadcasts."""
         from .ops import pallas_step as ps
         plan = self._fused_plan
         fd = data["tm"]
+        active = self._raw_tm_active
         smax, n_tiles, tile_p = plan["smax"], plan["n_tiles"], plan["tile_p"]
-        nraw = len(RawForcing._fields)
-        W = jax.lax.dynamic_slice_in_dim(fd["stf"], t0, tc, axis=0)
-        A = jnp.take(W, fd["widx"], axis=2)           # [tc, NRAW, b, SMAX]
-        A = jnp.transpose(A, (2, 0, 1, 3)).reshape(n_tiles, tc * nraw, smax)
-        out = jax.lax.dot_general(
-            A, fd["oh"], (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)      # [b, tc*NRAW, tile_p]
-        out = out.reshape(n_tiles, tc, nraw, tile_p // ps.LANE, ps.LANE)
-        leaves = {n: out[:, :, i] for i, n in enumerate(RawForcing._fields)}
-        leaves["prec_phase"] = leaves["prec_phase"].astype(jnp.int32)
+        subl = tile_p // ps.LANE
+        oshape = (n_tiles, tc, subl, ps.LANE)
+        leaves = {n: (jnp.full(oshape, -9999, jnp.int32)
+                      if n == "prec_phase"
+                      else jnp.full(oshape, jnp.float32(MISSING)))
+                  for n in RawForcing._fields}
+        if active:
+            nact = len(active)
+            W = jax.lax.dynamic_slice_in_dim(fd["stf"], t0, tc, axis=0)
+            A = jnp.take(W, fd["widx"], axis=2)      # [tc, n_act, b, SMAX]
+            A = jnp.transpose(A, (2, 0, 1, 3)).reshape(
+                n_tiles, tc * nact, smax)
+            out = jax.lax.dot_general(
+                A, fd["oh"], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)  # [b, tc*na, tile_p]
+            out = out.reshape(n_tiles, tc, nact, subl, ps.LANE)
+            for i, n in enumerate(active):
+                leaves[n] = (out[:, :, i].astype(jnp.int32)
+                             if n == "prec_phase" else out[:, :, i])
         return RawForcing(**leaves)
 
     def fused_window(self, data, t0, tc: int):
@@ -1130,8 +1159,8 @@ class GridExpander:
             rowd = lambda a, i: jax.lax.dynamic_slice_in_dim(
                 a, i, 1, 1)[:, 0]                         # traced raw row
             stk = lambda xs: jnp.stack(xs, axis=1)
-            take_s = lambda a, idx: jnp.take(a, idx, axis=1)
             tvec = lambda x: x.reshape(1, tc, 1, 1)
+            pexp = lambda x: x[:, None]       # point-shaped -> + tc axis
             oshape = (nt, tc, subl, ps.LANE)
         else:
             pshape = (Pn,)
@@ -1139,8 +1168,8 @@ class GridExpander:
             rowk = lambda a, k: a[k]
             rowd = lambda a, i: jax.lax.dynamic_slice_in_dim(a, i, 1, 0)[0]
             stk = lambda xs: jnp.stack(xs, axis=0)
-            take_s = lambda a, idx: jnp.take(a, idx, axis=0)
             tvec = lambda x: x.reshape(tc, 1)
+            pexp = lambda x: x[None, :]
             oshape = (tc, Pn)
         tex = tvec(jax.lax.dynamic_slice(data["tex"], (t0,), (tc,)))
         NEG, POS = jnp.asarray(-3e38, self.dtype), jnp.asarray(3e38,
@@ -1169,7 +1198,15 @@ class GridExpander:
             lv_t, lv_v = stk(lv_t), stk(lv_v)
             nx_t, nx_v = stk(nx_t), stk(nx_v)
 
-            seg_a, seg_b, seg_e, seg_eo = [], [], [], []
+            # per-step segment pick as a SPAN-way broadcast select sweep:
+            # a [tc]-indexed jnp.take over the stacked segments serializes
+            # on the TPU scalar core (measured ~24 ms/chunk of the grid
+            # prep at SPAN=2; same pathology as the round-4 horizon
+            # lookup), while the where-chain fuses into one elementwise
+            # pass over the [*, tc, *] output
+            trel = tvec(t_r - tr0)
+            res = None
+            ex_v, ex_ok = None, None
             for s in range(SPAN):
                 kg = k0 + s                       # global position index
                 kl = jnp.clip(kg - lo, 0, KW - 1)
@@ -1184,16 +1221,19 @@ class GridExpander:
                 # chunk-rebased intercept: v(t) = alpha + (t - tr0) * beta
                 # keeps the f32 cancellation at window scale, not run scale
                 alpha = jnp.where(have, v1 + (tr0 - t1) * beta, miss)
-                seg_a.append(alpha)
-                seg_b.append(beta)
-                seg_e.append(rowd(pvw, kl))
-                seg_eo.append(rowd(validw, kl) & (kg < K))
-            A, B = stk(seg_a), stk(seg_b)
-            E, EO = stk(seg_e), stk(seg_eo)
-            res = take_s(A, s_t) + tvec(t_r - tr0) * take_s(B, s_t)
+                seg = pexp(alpha) + trel * pexp(beta)
+                e_s = pexp(rowd(pvw, kl))
+                eo_s = pexp(rowd(validw, kl) & (kg < K))
+                if res is None:                   # s_t == 0 covers seg 0
+                    res, ex_v, ex_ok = seg, e_s, eo_s
+                else:
+                    on = tvec(s_t == s)
+                    res = jnp.where(on, seg, res)
+                    ex_v = jnp.where(on, e_s, ex_v)
+                    ex_ok = jnp.where(on, eo_s, ex_ok)
             # exact-time valid samples override unconditionally
             # (QueryDataSource.cpp:798-801 / interpolate_gapped)
-            return jnp.where(tex & take_s(EO, s_t), take_s(E, s_t), res)
+            return jnp.where(tex & ex_ok, ex_v, res)
 
         out = {}
         for name in RawForcing._fields:
@@ -1209,11 +1249,19 @@ class GridExpander:
                 pickw = jax.lax.dynamic_slice(data["pick"], (t0,), (tc,))
                 havep = tvec(jax.lax.dynamic_slice(data["havep"], (t0,),
                                                    (tc,)))
-                lpick = jnp.clip(pickw - lo, 0, KW - 1)
-                vnear = take_s(pvw, lpick)
-                lpos = jnp.clip(pos_c - lo, 0, KW - 1)
-                vex = take_s(pvw, lpos)
-                vexok = take_s(validw, lpos)
+                lpick = tvec(jnp.clip(pickw - lo, 0, KW - 1))
+                lpos = tvec(jnp.clip(pos_c - lo, 0, KW - 1))
+                # KW-way select sweep (see the continuous() note: a
+                # [tc]-indexed take serializes on the scalar core)
+                vnear = vex = vexok = None
+                for k in range(KW):
+                    pk, vk = pexp(rowk(pvw, k)), pexp(rowk(validw, k))
+                    if vnear is None:
+                        vnear, vex, vexok = pk, pk, vk
+                    else:
+                        vnear = jnp.where(lpick == k, pk, vnear)
+                        vex = jnp.where(lpos == k, pk, vex)
+                        vexok = jnp.where(lpos == k, vk, vexok)
                 res = jnp.where(tex & vexok, vex,
                                 jnp.where(havep, vnear, miss))
                 out[name] = jnp.where(res > -9000.0, res,
