@@ -349,6 +349,7 @@ class StationExpander:
                      ps.C_TSURF_OBS: f32(prep.tsurf_obs),
                      ps.C_VALID: f32(prep.valid),
                      ps.C_INCPL: f32(prep.in_coupling)},
+                    f32(prep.rhz),       # for the phase-B window provider
                     jnp.asarray(prep.trf_fric, jnp.float32))
 
         # cast exactly like _Engine's put_pts (fdt floats / int32 indices) so
@@ -364,12 +365,12 @@ class StationExpander:
                           for a in anchors) if anchors is not None else None)
         out_sh = jax.tree.map(lambda x: rep, jax.eval_shape(
             _prep, self.channels, pts_dev, anch_dev))
-        chans, trf = jax.jit(_prep, out_shardings=out_sh)(
+        chans, rhz_st, trf = jax.jit(_prep, out_shardings=out_sh)(
             self.channels, pts_dev, anch_dev)
         S = np.asarray(self._raw_host.tair).shape[0]
         self._prep_st_pts = st_pts         # host, rank S+1 (contract check)
         self.prep_data = {
-            "ch": chans, "trf": trf,
+            "ch": chans, "rhz": rhz_st, "trf": trf,
             "sidx": jax.device_put(
                 np.where(ok, st_idx, S).astype(np.int32), shp)}
         if self.point_perm is not None:
@@ -1986,6 +1987,30 @@ def run_production_coupled(model: Model, expander, pts: PointParams,
     @jax.jit
     def phase_b(tmp, scal, data):
         def provider(t0):
+            if eng.fast:
+                # station-level prepared channels (bitwise-equal to the
+                # generic per-point prep, tests/test_production.py
+                # fast-prep parity): each pass's window chunk is only a
+                # row gather -- the same trick as the streaming chunks,
+                # here cutting the per-pass re-prep cost for windows too
+                # big to cache
+                pd = data["exp"]["prep"]
+                sidx = pd["sidx"]
+
+                def rows(ch):
+                    sl = jax.lax.dynamic_slice_in_dim(ch, t0, wck, axis=1)
+                    return jnp.take(sl, sidx, axis=0).T       # [wck, P]
+                ch = pd["ch"]
+                return Prepared(
+                    tair=rows(ch[ps.C_TAIR]), vz=rows(ch[ps.C_VZ]),
+                    rhz=rows(pd["rhz"]),
+                    rain=rows(ch[ps.C_RAIN]), snow=rows(ch[ps.C_SNOW]),
+                    sw=rows(ch[ps.C_SW]), lw=rows(ch[ps.C_LW]),
+                    tsurf_obs=rows(ch[ps.C_TSURF_OBS]),
+                    valid=rows(ch[ps.C_VALID]) != 0.0,
+                    in_coupling=rows(ch[ps.C_INCPL]) != 0.0,
+                    trf_fric=jax.lax.dynamic_slice_in_dim(
+                        pd["trf"], t0, wck))
             rawT = eng.expander.window(data["exp"], t0, wck)
             hr = jax.lax.dynamic_slice_in_dim(data["hour"], t0, wck)
             jd = (jax.lax.dynamic_slice_in_dim(data["jde"], t0, wck)

@@ -102,6 +102,40 @@ def test_fused_coupled_matches_gather_bitwise():
                           np.asarray(runs["gather"].state.failed))
 
 
+def test_coupled_fast_provider_matches_generic_bitwise():
+    """Phase-B's station-prepared row-gather window provider (engaged
+    whenever eng.fast; cuts the per-pass re-prep for windows too big to
+    cache) must be bitwise the generic per-point prep provider."""
+    settings, model, raw_st, raw_pt, cal, pts, st_idx = _coupled_setup()
+    P = len(st_idx)
+    rng = np.random.default_rng(5)
+    S = np.asarray(raw_st.tair).shape[0]
+    obs_st = np.asarray(raw_st.tair)[:, 39] - rng.uniform(0.5, 2.5, S)
+    obs_st[2] = -9999.9
+    obs_pt = np.where(st_idx >= 0, obs_st[np.where(st_idx >= 0, st_idx, 0)],
+                      -9999.9)
+    pts = pts._replace(coupling_tsurf=obs_pt)
+    mesh = make_mesh()
+    _, exp_fast = _expanders(settings, model, raw_st, cal, pts, st_idx,
+                             mesh, obs_st=obs_st)     # row-gather fast
+    p_pad = production.padded_points(P, mesh)
+    st_idx_pad = np.pad(st_idx, (0, p_pad - P), constant_values=-1)
+    exp_plain = production.StationExpander(raw_st, st_idx_pad, mesh,
+                                           chunk_t=32)  # generic prep
+    state0 = model.init(raw_pt, cal, dtype=jnp.float32, pts=pts)
+    runs = {}
+    for label, exp in (("fast", exp_fast), ("generic", exp_plain)):
+        runs[label] = production.run_production_coupled(
+            model, exp, pts, cal, state0, mesh=mesh, chunk_t=32,
+            out_stride=6, inner_chunk_t=8, interpret=True)
+    for name in runs["fast"].fields:
+        np.testing.assert_array_equal(runs["fast"].fields[name],
+                                      runs["generic"].fields[name],
+                                      err_msg=name)
+    np.testing.assert_array_equal(np.asarray(runs["fast"].state.tmp),
+                                  np.asarray(runs["generic"].state.tmp))
+
+
 def test_fused_plan_autotunes_tile_for_dense_maps():
     """A dense station map that blows the span cap at the device-block
     default tile auto-tunes to a HALVED tile (spans shrink with the tile)
