@@ -193,17 +193,21 @@ def prepare_window(rawT: RawForcing, pts: PointParams, hour, settings, p,
     # 0 <= sky_view < 1; Simulation.f90:152-155) -------------------------
     sw, lw = rawT.sw, rawT.lw
     if enable_skyview:
-        assert ta == 0 and nd == 2, "sky view requires [Tc, P] layout"
+        # elevation_azimuth / modify_radiation are elementwise over
+        # (point, step), so they evaluate directly in the rawT layout --
+        # [Tc, P] or tile-major -- with the same broadcast helpers as the
+        # rest of the prep (horizons keep their 360-axis LAST; pvec lifts
+        # each degree column into the layout)
         jde = jnp.asarray(jde, dtype=dtype)
-        elev, azim = elevation_azimuth(jde[None, :], pts.lat[..., None],
-                                       pts.lon[..., None])      # [P, Tc]
-        pm = lambda x: jnp.swapaxes(x, 0, 1)                    # <-> [P, Tc]
-        sw_m, lw_m = modify_radiation(pm(sw), pm(sw_dir), pm(lw),
-                                      pm(rawT.lw_net), elev, azim,
-                                      pts.sky_view[..., None], pts.horizons,
-                                      p, flat_horizons=flat_horizons)
-        sw = jnp.where(pvec(skyview_active), pm(sw_m), sw)
-        lw = jnp.where(pvec(skyview_active), pm(lw_m), lw)
+        elev, azim = elevation_azimuth(tb(jde), pvec(pts.lat),
+                                       pvec(pts.lon))
+        sw_m, lw_m = modify_radiation(sw, sw_dir, lw, rawT.lw_net,
+                                      elev, azim, pvec(pts.sky_view),
+                                      pts.horizons, p,
+                                      flat_horizons=flat_horizons,
+                                      pexp=pvec)
+        sw = jnp.where(pvec(skyview_active), sw_m, sw)
+        lw = jnp.where(pvec(skyview_active), lw_m, lw)
 
     # --- relaxation (RelaxationOperations, src/Relaxation.f90:10-47) ----
     # NOTE: the reference also recomputes atm%TDew from the relaxed Tair/Rhz

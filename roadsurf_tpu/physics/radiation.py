@@ -22,20 +22,27 @@ def net_radiation(tsurf, albedo, sw, lw, sw_cof, lw_cof, p: PhysicsParams):
 
 
 def modify_radiation(sw, sw_dir, lw, lw_net, elev, azim, sky_view,
-                     horizons, p: PhysicsParams, flat_horizons: bool = False):
+                     horizons, p: PhysicsParams, flat_horizons: bool = False,
+                     pexp=None):
     """Sky-view/horizon correction of the radiation forcing
     (src/ModRadiation.f90:7-73).
 
-    sw/sw_dir/lw/lw_net/elev/azim: [..., T] (elev/azim from
+    sw/sw_dir/lw/lw_net/elev/azim: any shared layout (elev/azim from
     sun.elevation_azimuth); sky_view broadcastable against them;
-    horizons: [..., 360] local horizon angles (degrees per azimuth degree);
-    flat_horizons: statically-known all-zero horizons (sky-view factor
-    only, the common operational case) skip the lookup entirely.
+    horizons: [*point_dims, 360] local horizon angles (degrees per azimuth
+    degree); ``pexp`` maps a point-shaped array (a horizon degree column)
+    to something broadcastable against elev -- default ``x[..., None]``,
+    i.e. point dims leading and time LAST; the tile-major forcing prep
+    passes its own (time axis in the middle).  flat_horizons:
+    statically-known all-zero horizons (sky-view factor only, the common
+    operational case) skip the lookup entirely.
 
     Returns (sw_mod, lw_mod).  The caller applies this only where
     0 <= sky_view < 1, matching the driver guard
     (examples/example1/src/Simulation.f90:152-155).
     """
+    if pexp is None:
+        pexp = lambda x: x[..., None]
     dif_sw = sw - sw_dir
     lw_surroundings = lw_net - lw
 
@@ -54,7 +61,7 @@ def modify_radiation(sw, sw_dir, lw, lw_net, elev, azim, sky_view,
             # matches per element)
             horizon = jnp.zeros_like(elev)
             for d in range(360):
-                horizon = jnp.where(azim_idx == d, horizons[..., d:d + 1],
+                horizon = jnp.where(azim_idx == d, pexp(horizons[..., d]),
                                     horizon)
         else:
             horizon = horizons[azim_idx]

@@ -1375,14 +1375,13 @@ class _Engine:
             if self.enable_sky and hor_np.any():
                 horizons_dev = put_pts(hor_np, sh2, fdt)
             else:
-                # flat horizons (sky-view factor only, the common case) are
-                # built on device: uploading a [P, 360] zero tensor costs
-                # minutes over a remote-device tunnel at 1M points
-                H = hor_np.shape[1] if (self.enable_sky
-                                        and hor_np.ndim == 2) else 1
+                # flat horizons (sky-view factor only, the common case):
+                # the prep's flat_horizons static path never reads the
+                # table, so a 1-wide zero placeholder suffices -- a real
+                # [P, 360] tensor is 1.5 GB of HBM at 1M points
                 p_pad_ = self.P_pad
                 horizons_dev = jax.jit(
-                    lambda: jnp.zeros((p_pad_, H), fdt),
+                    lambda: jnp.zeros((p_pad_, 1), fdt),
                     out_shardings=sh2)()
             self.pts_dev = PointParams(
                 lat=put_pts(pts.lat, shp, fdt),
@@ -1485,7 +1484,6 @@ class _Engine:
         # transpose exists anywhere
         tg = getattr(expander, "tile_geom", None)
         self.fused_generic = (not self.fused and not self.fast
-                              and not self.enable_sky
                               and hasattr(expander, "window_tm")
                               and tg is not None
                               and self.tile_p in (None, tg[1] * ps.LANE))
@@ -1498,7 +1496,8 @@ class _Engine:
         elif self.fused_generic:
             self.metrics.note(
                 "fused tile-major forcing path (per-point prep in the "
-                "kernel's slim layout)")
+                "kernel's slim layout"
+                + (", incl. sky view)" if self.enable_sky else ")"))
         elif self.enable_sky:
             self.metrics.note(
                 "sky-view correction is per-point: generic per-point "
@@ -1532,6 +1531,17 @@ class _Engine:
             self.pts_tm = self.pts_dev._replace(
                 **{n: _tm(getattr(self.pts_dev, n))
                    for n in PointParams._fields if n != "horizons"})
+            if self.enable_sky and not self.flat_horizons:
+                # horizon tables in tile layout, 360-axis LAST (flat
+                # horizons never read the table -- keep the placeholder)
+                hor = self.pts_dev.horizons
+                H = hor.shape[1]
+                sh4_ = NamedSharding(self.mesh,
+                                     P(POINTS, None, None, None))
+                self.pts_tm = self.pts_tm._replace(
+                    horizons=jax.jit(
+                        lambda v: jnp.reshape(v, tm_shape + (H,)),
+                        out_shardings=sh4_)(hor))
             if self.anchors_dev is not None:
                 self.anchors_tm = tuple(_tm(a) for a in self.anchors_dev)
             prm = self.params
@@ -1625,13 +1635,18 @@ class _Engine:
             return (expander.fused_window(data["exp"], t0, chunk_t),
                     data["exp"]["prep"]["trf"])
         # fused-generic: tile-major raw window -> per-point prep in
-        # the kernel layout (no point-major tensor or transpose)
+        # the kernel layout (no point-major tensor or transpose);
+        # sky-view/horizon correction rides the same layout (elementwise
+        # sun position + 360-way horizon select sweep)
         rawTM = expander.window_tm(data["exp"], t0, chunk_t)
         hr = jax.lax.dynamic_slice_in_dim(data["hour"], t0, chunk_t)
+        jd = (jax.lax.dynamic_slice_in_dim(data["jde"], t0, chunk_t)
+              if self.enable_sky else None)
         prep = prepare_window(
             rawTM, data["pts_tm"], hr, self.settings, self.params,
-            t_offset=t0, t_total=T, anchors=data["anchors_tm"],
-            enable_skyview=False, time_axis=1)
+            t_offset=t0, t_total=T, anchors=data["anchors_tm"], jde=jd,
+            enable_skyview=self.enable_sky,
+            flat_horizons=self.flat_horizons, time_axis=1)
         f32 = lambda x: jnp.asarray(x, jnp.float32)
         tair, rhz = f32(prep.tair), f32(prep.rhz)
         eair, airvcap = ps.forcing_thermo(tair, rhz)

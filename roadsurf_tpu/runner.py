@@ -475,11 +475,27 @@ def run_production_config(config, settings, cal, sim_epochs, now, start, *,
             prep_ctx = None
             skyview_any = bool(np.any((np.asarray(svf) < 1.0)
                                       & (np.asarray(svf) > -0.01)))
-            # grid+station overlay: the station part emits RAW tile-major
-            # windows (one-hot MXU expansion) so the composite rides the
-            # fused-generic slim kernel path; the sort permutation is shared
-            # with every grid part below
-            raw_tm = bool(grid_srcs) and not skyview_any
+            # grid+station overlays AND sky-view station configs ride the
+            # fused-generic path: the station part emits RAW tile-major
+            # windows (one-hot MXU expansion) and the per-point prep --
+            # incl. the sky-view correction -- runs in kernel layout; the
+            # sort permutation is shared with every grid part below
+            raw_tm = bool(grid_srcs) or skyview_any
+            if raw_tm:
+                # the raw one-hot expansion materializes its ACTIVE raw
+                # channels IN ADDITION to the slim stack; with two chunks
+                # in flight the HBM temps are ~(n_active + 11) * 8 B per
+                # point-step -- halve the chunk until the pipelined
+                # footprint fits (measured: 11 active channels at 1M pts x
+                # chunk 64 OOMs the 16 GB HBM)
+                def _act(n):
+                    v = np.asarray(getattr(raw_st, n))
+                    sent = -9999 if n == "prec_phase" else -9999.9
+                    return not np.all(v == np.asarray(sent, v.dtype))
+                n_act = sum(1 for n in raw_st._fields if _act(n))
+                while (chunk_t > 16
+                       and p_pad * chunk_t * 8 * (n_act + 11) > 8e9):
+                    chunk_t //= 2
             if not grid_srcs and not skyview_any:
                 S_st = len(st_lats)
                 app = lambda a, fill, dt=None: np.concatenate(

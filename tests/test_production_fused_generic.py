@@ -240,6 +240,54 @@ def test_production_grid_fused_matches_generic():
                                rtol=1e-6, atol=1e-5)
 
 
+def test_production_skyview_fused_matches_generic():
+    """Sky-view / local-horizon configs ride the fused-generic tile-major
+    path (elementwise sun position + 360-way horizon select sweep in
+    kernel layout) and must match the generic per-point engine."""
+    T, dt = 97, 120.0
+    t0 = utc("2019-12-02 00:00")
+    sim = t0 + (dt * np.arange(T)).astype(np.int64)
+    settings = ModelSettings(sim_len=T, dt=dt, use_relaxation=False)
+    model = Model(settings)
+    cal = Calendar.from_epochs(sim)
+    P = 1024
+    raw_st, st_idx = _station_case(P, T, seed=13)
+    rng = np.random.default_rng(7)
+    from roadsurf_tpu.state import default_point_params
+    sky = np.full(P, 1.0)
+    sky[::3] = 0.6
+    hor = np.zeros((P, 360))
+    hor[::3] = rng.uniform(0, 25, size=(np.sum(np.arange(P) % 3 == 0), 360))
+    pts = default_point_params(P)._replace(
+        lat=60.0 + rng.uniform(0, 1, P), lon=24.0 + rng.uniform(0, 2, P),
+        sky_view=sky, horizons=hor)
+    mesh = make_mesh()
+    raw_pt = RawForcing(*(np.asarray(getattr(raw_st, n))
+                          [np.where(st_idx >= 0, st_idx, 0)]
+                          for n in RawForcing._fields))
+    state0 = model.init(raw_pt, cal, dtype=jnp.float32)
+    results = []
+    for fused_mode in (True, False):
+        exp = production.StationExpander(raw_st, st_idx, mesh, chunk_t=32,
+                                         raw_tm=fused_mode)
+        eng_probe = production._Engine(model, exp, pts, cal, state0,
+                                       mesh=mesh, chunk_t=32,
+                                       interpret=True)
+        assert eng_probe.enable_sky
+        assert eng_probe.fused_generic == fused_mode
+        assert not eng_probe.flat_horizons
+        res = production.run_production(model, exp, pts, cal, state0,
+                                        mesh=mesh, chunk_t=32, out_stride=6,
+                                        interpret=True)
+        results.append(res)
+    fused, gen = results
+    for n in ("tsurf", "wat", "snow", "ice", "ice2", "dep"):
+        np.testing.assert_allclose(fused.fields[n], gen.fields[n],
+                                   rtol=1e-6, atol=1e-5, err_msg=n)
+    np.testing.assert_array_equal(np.asarray(fused.state.failed),
+                                  np.asarray(gen.state.failed))
+
+
 def test_production_composite_fused_matches_generic():
     """Grid forecast + station obs overlay through the fused-generic
     composite (raw-tm station part + shared-perm grid part) == the generic

@@ -150,7 +150,9 @@ def main(argv=None):
                                               chunk_t=chunk_t,
                                               prep_ctx=prep_ctx,
                                               fused=not args.no_fused,
-                                              tile_p=args.tile_p or None)
+                                              tile_p=args.tile_p or None,
+                                              raw_tm=(args.skyview
+                                                      and not args.no_tm))
 
     pts = default_point_params(P0)._replace(
         lat=58.0 + rng.uniform(0, 6, P0), lon=20.0 + rng.uniform(0, 10, P0))
