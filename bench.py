@@ -33,6 +33,7 @@ def main():
     import jax.numpy as jnp
 
     from roadsurf_tpu.config import ModelSettings
+    from roadsurf_tpu.forcing import Calendar
     from roadsurf_tpu.io.synthetic import synthetic_raw
     from roadsurf_tpu.model import Model, scan_steps
     from roadsurf_tpu.state import default_point_params
@@ -160,6 +161,62 @@ def main():
             print(f"fused-chunk stage skipped: {type(e).__name__}: {e}",
                   file=sys.stderr)
 
+    # ---- fused-generic GRID production chunk: the reference's operational
+    # forcing source (NWP grid), device-extracted + interpolated + prepped
+    # in the kernel's tile-major layout (round 5)
+    grid_rate = None
+    if backend == "tpu" and npoints % ps.TILE_P == 0:
+        try:
+            from roadsurf_tpu import production
+            from roadsurf_tpu.parallel.sharding import make_mesh
+
+            T2 = 8 * t_chunk + 1
+            t0e = 1575158400
+            sim_ep = t0e + (30.0 * np.arange(T2)).astype(np.int64)
+            gt = t0e + 3600 * np.arange(1 + int(T2 * 30.0 // 3600) + 1,
+                                        dtype=np.int64)
+            rng = np.random.default_rng(11)
+            ny, nx = 300, 400
+            gla = np.linspace(59.6, 70.1, ny)
+            glo = np.linspace(20.5, 31.6, nx)
+            R = len(gt)
+            gf = {n: rng.normal(0.0 if n in ("prec", "sw") else -3.0, 2.0,
+                                (R, ny, nx))
+                  for n in ("tair", "tdew", "rhz", "vz", "prec", "sw",
+                            "lw")}
+            gf["rhz"] = np.abs(gf["rhz"]) + 60.0
+            gf["vz"] = np.abs(gf["vz"]) + 1.0
+            gf["prec"] = np.abs(gf["prec"])
+            gf["sw"] = np.abs(gf["sw"])
+            gf["lw"] = 280.0 + gf["lw"]
+            plat = rng.uniform(59.6, 70.1, npoints)
+            plon = rng.uniform(20.5, 31.6, npoints)
+            mesh = make_mesh()
+            gexp = production.GridExpander(gt, gla, glo, gf, plat, plon,
+                                           sim_ep, mesh, chunk_t=t_chunk)
+            cal3 = Calendar.from_epochs(sim_ep)
+            settings3 = ModelSettings(sim_len=T2, dt=30.0,
+                                      use_relaxation=False)
+            model3 = Model(settings3)
+            geng = production._Engine(model3, gexp,
+                                      default_point_params(npoints), cal3,
+                                      state, mesh=mesh, chunk_t=t_chunk)
+            assert geng.fused_generic
+            gfn = geng.chunk_fn(t_chunk, False)
+            tmp, scal = geng.tmp0, geng.scal0
+            tmp, scal, _ = gfn(tmp, scal, np.int32(0), geng.data)
+            jax.block_until_ready(scal)
+            t0 = time.perf_counter()
+            for k in range(n_chunks):
+                tmp, scal, _ = gfn(tmp, scal, np.int32((k % 8) * t_chunk),
+                                   geng.data)
+            jax.block_until_ready(scal)
+            grid_rate = npoints * t_chunk * n_chunks / (
+                time.perf_counter() - t0)
+        except Exception as e:  # keep the headline alive on rig quirks
+            print(f"grid-chunk stage skipped: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
     # headline = best sustained rate across engines; the fused production
     # chunk legitimately exceeds the point-major kernel-only stage because
     # its tile-major slim forcing layout also speeds up the kernel's DMA
@@ -176,7 +233,9 @@ def main():
                    "pallas_rate": (round(pallas_rate, 1)
                                    if pallas_rate else None),
                    "fused_production_chunk_rate": (
-                       round(fused_rate, 1) if fused_rate else None)},
+                       round(fused_rate, 1) if fused_rate else None),
+                   "grid_production_chunk_rate": (
+                       round(grid_rate, 1) if grid_rate else None)},
     }))
 
 

@@ -56,8 +56,10 @@ def main(argv=None):
             from tools.bench_chunk import main as m
             _stage(name, lambda: m(["--fast", "--no-fused"]))
         elif name == "chunk_skyview":
+            # chunk 32: the raw+slim double materialization of the fused
+            # sky-view path OOMs 16 GB HBM at 1M points x chunk 64
             from tools.bench_chunk import main as m
-            _stage(name, lambda: m(["--skyview"]))
+            _stage(name, lambda: m(["--skyview", "--chunk-t", "32"]))
         elif name == "chunk_grid":
             from tools.bench_chunk import main as m
             _stage(name, lambda: m(["--grid"]))
