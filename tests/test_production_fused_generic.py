@@ -172,6 +172,37 @@ def _station_case(P, T, S=7, seed=9):
     return raw_st, st_idx
 
 
+def test_grid_device_extraction_matches_host():
+    """Device-side spatial extraction (raw grids + host-computed float64
+    cell geometry) == the host bilinear/nearest pipeline: continuous vars
+    to float32 weight-rounding, prec_phase EXACTLY (the sorted-corner
+    first-valid-wins tie-break replicates the host loop)."""
+    times, lats, lons, fields, sim = _grid_case()
+    P = 1024
+    plat, plon = _points(P, clip=False)      # some points off-grid
+    mesh = make_mesh()
+    dev = production.GridExpander(times, lats, lons, fields, plat, plon,
+                                  sim, mesh, chunk_t=32, extract="device")
+    host = production.GridExpander(times, lats, lons, fields, plat, plon,
+                                   sim, mesh, chunk_t=32, extract="host")
+    wd = jax.jit(lambda d, t0: dev.window(d, t0, 32))
+    wh = jax.jit(lambda d, t0: host.window(d, t0, 32))
+    for t0 in [0, 32, 17]:
+        a = wd(dev.device_data, np.int32(t0))
+        b = wh(host.device_data, np.int32(t0))
+        for n in RawForcing._fields:
+            ga, gb = np.asarray(getattr(a, n)), np.asarray(getattr(b, n))
+            if n == "prec_phase":
+                np.testing.assert_array_equal(ga, gb, err_msg=f"{n}@{t0}")
+                continue
+            both_missing = (ga <= -9000.0) & (gb <= -9000.0)
+            assert ((ga <= -9000.0) == (gb <= -9000.0)).all(), n
+            np.testing.assert_allclose(
+                np.where(both_missing, 0.0, ga),
+                np.where(both_missing, 0.0, gb),
+                rtol=1e-5, atol=1e-4, err_msg=f"{n}@t0={t0}")
+
+
 def test_station_window_tm_matches_window():
     """Raw one-hot MXU expansion == the row-gather expansion, bitwise
     (f32 HIGHEST selection), in the expander's sorted point order."""
