@@ -121,6 +121,23 @@ def auto_chunk_t(n_points: int, inner_chunk_t: int = 8,
     return (tc // inner_chunk_t) * inner_chunk_t
 
 
+def active_channels(raw: RawForcing):
+    """Channel names carrying ANY non-sentinel value (host arrays).
+
+    A channel is inactive only when every value IS the missing sentinel
+    exactly -- then any expansion of it is a constant-sentinel broadcast,
+    bitwise what the gather path would produce.  Shared by the raw
+    tile-major expansion (only active channels ride the one-hot matmul)
+    and the runner's chunk-size HBM estimate."""
+    out = []
+    for n in RawForcing._fields:
+        v = np.asarray(getattr(raw, n))
+        sent = -9999 if n == "prec_phase" else MISSING
+        if not np.all(v == np.asarray(sent, v.dtype)):
+            out.append(n)
+    return out
+
+
 def _pad_tail(x: np.ndarray, n: int, axis: int = 0) -> np.ndarray:
     """Edge-pad ``axis`` to length n."""
     x = np.asarray(x)
@@ -185,9 +202,17 @@ class StationExpander:
             # stations-MAJOR [S, T_pad]: the per-chunk expansion then gathers
             # whole station rows (contiguous time slices) instead of scalar
             # elements along the minor axis -- minor-axis gathers serialize
-            # on the TPU scalar core (~0.5 s per 1M-point chunk measured)
+            # on the TPU scalar core (~0.5 s per 1M-point chunk measured).
+            # NaN raws (an accepted missing marker elsewhere in the data
+            # plane) become the sentinel HERE: one NaN in a raw_tm one-hot
+            # matmul row would poison every point of its tile via 0*NaN
+            # terms, and NaN/sentinel are indistinguishable downstream
+            # (every validity rule is a > / range check NaN also fails)
             x = _pad_tail(np.asarray(x), t_pad, axis=1)     # [S, T_pad]
-            return jax.device_put(np.asarray(x, dt), rep)
+            x = np.asarray(x, dt)
+            if x.dtype.kind == "f":
+                x = np.where(np.isnan(x), np.asarray(MISSING, dt), x)
+            return jax.device_put(x, rep)
 
         self.channels = RawForcing(
             *(put(getattr(raw_st, n),
@@ -441,13 +466,7 @@ class StationExpander:
         plan = self._fused_plan
         s_pad = plan["s_pad"]
         oh, widx = self._plan_dev_arrays()
-        def is_active(n):
-            v = np.asarray(getattr(self._raw_host, n))
-            sent = -9999 if n == "prec_phase" else MISSING
-            # inactive ONLY when every value IS the sentinel: the constant
-            # broadcast is then bitwise what the expansion would produce
-            return not np.all(v == np.asarray(sent, v.dtype))
-        active = [n for n in RawForcing._fields if is_active(n)]
+        active = active_channels(self._raw_host)
 
         def build(channels):
             rows = []
@@ -637,8 +656,9 @@ class CompositeExpander:
                 "(build grid parts with point_perm=<station part's perm>) "
                 "or none")
         self.point_perm = have[0] if have else None
-        self.point_inv = (parts[perms.index(have[0])].point_inv
-                          if have else None)
+        # when any part is permuted, ALL are (checked above) -- parts[0]'s
+        # inverse is the shared one
+        self.point_inv = parts[0].point_inv if have else None
         # fused tile-major overlay needs every part to emit raw tile-major
         # windows with one tile geometry
         geoms = [getattr(p, "tile_geom", None) for p in parts]
@@ -1050,6 +1070,12 @@ class GridExpander:
                                      (1, 0, 2, 3))
             return out.T
 
+        # two compiled programs total (bilinear / nearest), shared across
+        # variables -- a per-variable jit would recompile the identical
+        # extraction once per field (remote compile is seconds each)
+        fns = {nearest: jax.jit(partial(build, nearest=nearest),
+                                out_shardings=out_sh)
+               for nearest in (False, True)}
         pv = {}
         for name in self.var_names:
             f = np.asarray(fields[name])
@@ -1057,9 +1083,8 @@ class GridExpander:
                 f = f[:, ::-1, :]
             ff = jax.device_put(np.ascontiguousarray(
                 f.reshape(K, ny * nx).astype(fdt)), rep)
-            fn = jax.jit(partial(build, nearest=(name == "prec_phase")),
-                         out_shardings=out_sh)
-            pv[name] = fn(ff, idx4_d, w4_d, sidx4_d, ins_d)
+            pv[name] = fns[name == "prec_phase"](ff, idx4_d, w4_d, sidx4_d,
+                                                 ins_d)
             del ff
         return pv
 

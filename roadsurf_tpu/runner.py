@@ -488,11 +488,7 @@ def run_production_config(config, settings, cal, sim_epochs, now, start, *,
                 # point-step -- halve the chunk until the pipelined
                 # footprint fits (measured: 11 active channels at 1M pts x
                 # chunk 64 OOMs the 16 GB HBM)
-                def _act(n):
-                    v = np.asarray(getattr(raw_st, n))
-                    sent = -9999 if n == "prec_phase" else -9999.9
-                    return not np.all(v == np.asarray(sent, v.dtype))
-                n_act = sum(1 for n in raw_st._fields if _act(n))
+                n_act = len(production.active_channels(raw_st))
                 while (chunk_t > 16
                        and p_pad * chunk_t * 8 * (n_act + 11) > 8e9):
                     chunk_t //= 2
@@ -549,22 +545,23 @@ def run_production_config(config, settings, cal, sim_epochs, now, start, *,
         expander = (parts[0] if len(parts) == 1
                     else production.CompositeExpander(parts))
 
-        if grid_srcs and verbose:
+        if grid_srcs and (verbose or jax.process_count() > 1):
             # the up-front station required-var check was skipped (grid
             # sources may fill the gaps): recover the reference's per-point
             # skip report from the MERGED forcing (roadrunner.cpp:183-231).
-            # NOTE: this screen runs device collectives -- under
-            # jax.distributed every process must pass the SAME ``verbose``
-            # (mixed flags desync the collective streams)
+            # The screen runs device collectives, so under jax.distributed
+            # EVERY process must take this branch regardless of its own
+            # verbose flag (mixed flags would desync the collective
+            # streams); only the printing stays verbose-gated
             counts, n_bad = production.validation_counts(
                 expander, mesh, sim_len, chunk_t=chunk_t, n_real=P)
-            if n_bad:
+            if verbose and n_bad:
                 per_var = ", ".join(f"{k}={v}" for k, v in counts.items()
                                     if v)
                 print(f"Post-merge CheckValues screen: {n_bad}/{P} points "
                       f"carry invalid/missing input and will fail in-kernel "
                       f"({per_var})")
-            else:
+            elif verbose:
                 print("Post-merge CheckValues screen: all points valid")
 
         if settings.use_coupling and grid_has_obsts:

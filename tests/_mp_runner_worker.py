@@ -25,12 +25,13 @@ def main():
     jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
                                num_processes=nproc, process_id=pid)
     from roadsurf_tpu import runner
-    # verbose must MATCH across processes: verbose-gated screens
-    # (production.validation_counts) run collectives
+    # MIXED verbose on purpose (the common rank-0-only-logs pattern): the
+    # runner's collective screens are process_count-gated, not
+    # verbose-gated, so this must not desync/deadlock
     runner.run(os.environ["MP_RUN_CFG"], os.environ.get("MP_RUN_T"),
                output_path=os.environ["MP_RUN_OUT"],
                checkpoint_out=os.environ["MP_RUN_CK"],
-               verbose=True, engine="pallas")
+               verbose=(pid == 0), engine="pallas")
     print(f"MP_RUNNER_OK {pid}")
 
 

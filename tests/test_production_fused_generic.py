@@ -80,7 +80,9 @@ def test_prepare_window_tile_major_matches_flat():
     Tc, P = 16, 512
     nt, subl = 2, 2            # 2 * 2 * 128 = 512
     T_total = 64
-    t_off = 40                 # covers the lastValues row T_total-1? no: 40+16=56
+    t_off = 48                 # window 48..63 COVERS the lastValues row
+                               # T_total-1 (its valid/clamp/relax masks key
+                               # off the tb() broadcast under test)
     settings = ModelSettings(sim_len=T_total, dt=300.0, use_relaxation=True,
                              use_coupling=True)
     model = Model(settings)
