@@ -180,6 +180,9 @@ def test_grid_device_extraction_matches_host():
     to float32 weight-rounding, prec_phase EXACTLY (the sorted-corner
     first-valid-wins tie-break replicates the host loop)."""
     times, lats, lons, fields, sim = _grid_case()
+    # descending-latitude grid exercises the flip path of both extractors
+    lats = lats[::-1].copy()
+    fields = {k: np.asarray(v)[:, ::-1, :].copy() for k, v in fields.items()}
     P = 1024
     plat, plon = _points(P, clip=False)      # some points off-grid
     mesh = make_mesh()
