@@ -64,6 +64,41 @@ def test_example1_end_to_end(tmp_path):
                verbose=False)
 
 
+def test_example1_pallas_engine_parity(tmp_path):
+    """example1's full feature set -- station JSON sources, sky-view +
+    local horizons, coupling, relaxation -- through the streamed pallas
+    engine (the round-5 fused-generic sky-view path) == the scan engine."""
+    gen = load_script(os.path.join(EXAMPLES, "example1", "make_data.py"),
+                      "ex1_make_data")
+    gen.main(["--stations", "3", "--analysis", "4", "--forecast", "4",
+              "--outdir", str(tmp_path)])
+
+    from roadsurf_tpu.io.sources import read_json_tolerant
+    cfg = read_json_tolerant(
+        os.path.join(EXAMPLES, "example1", "example_config.json"))
+    cfg["time"]["analysis"] = 2
+    cfg["time"]["forecast"] = 1
+    cfg["model"]["DTSecs"] = 120       # keep the interpret-mode run short
+    for src in cfg["input"]:
+        src["path"] = str(tmp_path / os.path.basename(src["path"]))
+    cfg["parameters"]["sky_view_file"] = str(tmp_path / "skyview.txt")
+    cfg["parameters"]["local_horizon_file"] = str(tmp_path / "horizons.txt")
+    cfg["output"]["filename"] = str(tmp_path / "out.json")
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    from roadsurf_tpu import runner
+    _, f_scan = runner.run(str(cfg_path), "20191202T0000", verbose=False,
+                           engine="scan")
+    _, f_pal = runner.run(str(cfg_path), "20191202T0000", verbose=False,
+                          engine="pallas")
+    steps = np.asarray(f_pal["steps"])
+    for n in ("tsurf", "wat", "snow", "ice", "dep"):
+        want = np.asarray(f_scan[n])[steps]
+        np.testing.assert_allclose(np.asarray(f_pal[n]), want,
+                                   rtol=2e-4, atol=2e-3, err_msg=n)
+
+
 def test_example2_grid_end_to_end(tmp_path):
     gen = load_script(os.path.join(EXAMPLES, "example2", "make_data.py"),
                       "ex2_make_data")
