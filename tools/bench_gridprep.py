@@ -75,19 +75,19 @@ def main(argv=None):
     print(f"built: KW={exp.KW} SPAN={exp.SPAN} tile_geom={exp.tile_geom}",
           file=sys.stderr)
 
+    from roadsurf_tpu.state import init_state
+
     pts = default_point_params(P0)
     cal = Calendar.from_epochs(sim)
-    state0 = None
-    eng = production._Engine(
-        model, exp, pts, cal,
-        __import__("roadsurf_tpu.state", fromlist=["init_state"]).init_state(
-            settings, model.params, model.grid,
-            np.full(P0, -3.0), np.full(P0, 3.0), np.full(P0, 80.0),
-            np.full(P0, -9999.9),
-            (int(cal.year[0]), int(cal.month[0]), int(cal.day[0])),
-            depth_idx=model.cfg.depth_idx, depth_w=model.cfg.depth_w,
-            use_depth=model.cfg.use_depth, dtype=jnp.float32),
-        mesh=mesh, chunk_t=chunk_t)
+    state0 = init_state(
+        settings, model.params, model.grid,
+        np.full(P0, -3.0), np.full(P0, 3.0), np.full(P0, 80.0),
+        np.full(P0, -9999.9),
+        (int(cal.year[0]), int(cal.month[0]), int(cal.day[0])),
+        depth_idx=model.cfg.depth_idx, depth_w=model.cfg.depth_w,
+        use_depth=model.cfg.use_depth, dtype=jnp.float32)
+    eng = production._Engine(model, exp, pts, cal, state0,
+                             mesh=mesh, chunk_t=chunk_t)
     assert eng.fused_generic
 
     @jax.jit
