@@ -138,6 +138,20 @@ def active_channels(raw: RawForcing):
     return out
 
 
+def raw_tm_chunk_t(chunk_t: int, n_points: int, n_active: int,
+                   budget_bytes: float = 8e9, floor: int = 16) -> int:
+    """Streaming chunk length for raw-tm fused configs: the raw one-hot
+    expansion materializes its active raw channels IN ADDITION to the slim
+    stack, ~(n_active + NCH_SLIM) * 8 B per point-step with two chunks in
+    flight -- halve until the pipelined HBM temps fit (measured: 11 active
+    channels at 1M points x chunk 64 OOMs the 16 GB chip)."""
+    while (chunk_t > floor
+           and n_points * chunk_t * 8 * (n_active + ps.NCH_SLIM)
+           > budget_bytes):
+        chunk_t //= 2
+    return chunk_t
+
+
 def _pad_tail(x: np.ndarray, n: int, axis: int = 0) -> np.ndarray:
     """Edge-pad ``axis`` to length n."""
     x = np.asarray(x)

@@ -482,16 +482,9 @@ def run_production_config(config, settings, cal, sim_epochs, now, start, *,
             # sort permutation is shared with every grid part below
             raw_tm = bool(grid_srcs) or skyview_any
             if raw_tm:
-                # the raw one-hot expansion materializes its ACTIVE raw
-                # channels IN ADDITION to the slim stack; with two chunks
-                # in flight the HBM temps are ~(n_active + 11) * 8 B per
-                # point-step -- halve the chunk until the pipelined
-                # footprint fits (measured: 11 active channels at 1M pts x
-                # chunk 64 OOMs the 16 GB HBM)
-                n_act = len(production.active_channels(raw_st))
-                while (chunk_t > 16
-                       and p_pad * chunk_t * 8 * (n_act + 11) > 8e9):
-                    chunk_t //= 2
+                chunk_t = production.raw_tm_chunk_t(
+                    chunk_t, p_pad,
+                    len(production.active_channels(raw_st)))
             if not grid_srcs and not skyview_any:
                 S_st = len(st_lats)
                 app = lambda a, fill, dt=None: np.concatenate(

@@ -204,3 +204,37 @@ def test_validation_counts_screen():
     assert counts["vz"] == n_oor          # final-step-only value is exempt
     assert counts["tair"] == n_oor
     assert n_bad == n_st1 + n_oor
+
+
+def test_raw_tm_chunk_halving_and_active_channels():
+    """The raw-tm HBM chunk rule (runner auto-halving) and the shared
+    active-channel predicate."""
+    import numpy as np
+
+    from roadsurf_tpu import production
+    from roadsurf_tpu.forcing import RawForcing
+
+    # 11 active channels at 1M points: 64 -> 32 (measured OOM boundary)
+    assert production.raw_tm_chunk_t(64, 1 << 20, 11) == 32
+    # obs-only station part (1 active): 64 stays
+    assert production.raw_tm_chunk_t(64, 1 << 20, 1) == 64
+    # floor respected
+    assert production.raw_tm_chunk_t(64, 1 << 24, 11) == 16
+    # small point counts untouched
+    assert production.raw_tm_chunk_t(1024, 1 << 12, 11) == 1024
+
+    S, T = 4, 9
+    miss = np.full((S, T), -9999.9, np.float32)
+    raw = RawForcing(**{n: (np.full((S, T), -9999, np.int64)
+                            if n == "prec_phase" else miss.copy())
+                        for n in RawForcing._fields})
+    assert production.active_channels(raw) == []
+    tzo = miss.copy()
+    tzo[2, 5] = -3.0
+    raw2 = raw._replace(tsurf_obs=tzo)
+    assert production.active_channels(raw2) == ["tsurf_obs"]
+    # NaN is not the sentinel -> counts as active (sanitized at placement)
+    tn = miss.copy()
+    tn[0, 0] = np.nan
+    raw3 = raw._replace(tair=tn)
+    assert production.active_channels(raw3) == ["tair"]
